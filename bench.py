@@ -1,0 +1,103 @@
+"""Headline benchmark: rays/s/chip, forward+backward, on the full reflective
+scene at 1024^2 with depth-3 reflections (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+``vs_baseline``: the reference publishes no numbers (2014 homework, no
+benchmarks — SURVEY.md section 6), so the denominator is this repo's
+engineering target for one TPU v5e chip: TARGET_RAYS_PER_S primary rays/s
+with full forward+backward.  vs_baseline > 1.0 beats the target.
+
+Timing methodology: the tunneled TPU runtime has tens of ms of per-dispatch
+latency and an unreliable block_until_ready, so all iterations run inside a
+single jitted lax.scan (each iteration's params perturbed by a tiny
+iteration-dependent epsilon to defeat CSE) and the final scalar is fetched
+to force completion.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    depth = int(os.environ.get("BENCH_DEPTH", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    forward_only = os.environ.get("BENCH_FORWARD_ONLY", "0") == "1"
+
+    from ray_tracer_fragment_shader_tpu.core.renderer import render_image
+    from ray_tracer_fragment_shader_tpu.diff.fit import FitParams, l2_loss
+    from ray_tracer_fragment_shader_tpu.ops.rays import Camera
+    from ray_tracer_fragment_shader_tpu.scene import presets
+
+    scene, camcfg, config = presets.full_reflective(size=size, depth=depth)
+    if os.environ.get("BENCH_CHUNK"):
+        config = dataclasses.replace(config,
+                                     chunk_size=int(os.environ["BENCH_CHUNK"]))
+    camera = Camera.from_config(camcfg, config.width, config.height)
+
+    target = jax.jit(lambda s, c: render_image(s, c, config))(scene, camera)
+    float(jnp.sum(target))  # force completion
+
+    params0 = FitParams.from_scene(scene)
+
+    def one_iter(accum, eps):
+        p = params0.replace(sph_center=params0.sph_center + eps)
+        if forward_only:
+            img = render_image(p.into_scene(scene), camera, config)
+            return accum + jnp.mean(img), None
+        loss, grads = jax.value_and_grad(l2_loss)(p, scene, camera, config,
+                                                  target)
+        return accum + loss + jnp.mean(grads.sph_radius), None
+
+    @jax.jit
+    def run(n_eps):
+        total, _ = jax.lax.scan(one_iter, jnp.float32(0.0), n_eps)
+        return total
+
+    eps1 = jnp.linspace(0.0, 1e-5, 1).astype(jnp.float32)
+    epsN = jnp.linspace(0.0, 1e-5, iters).astype(jnp.float32)
+
+    t0 = time.perf_counter()
+    float(run(eps1))  # compile 1-iter shape
+    float(run(epsN))  # compile N-iter shape
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    float(run(eps1))  # dispatch overhead + 1 iter
+    one_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(epsN))  # dispatch overhead + N iters
+    n_s = time.perf_counter() - t0
+
+    dt = max((n_s - one_s) / (iters - 1), 1e-9)  # overhead-free per-iter time
+
+    rays = size * size * config.samples
+    rays_per_s = rays / dt
+
+    TARGET_RAYS_PER_S = 100e6  # engineering bar for fwd+bwd on one v5e chip
+
+    print(json.dumps({
+        "metric": f"rays_per_s_per_chip_{'fwd' if forward_only else 'fwd_bwd'}"
+                  f"_{size}x{size}_depth{depth}",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / TARGET_RAYS_PER_S, 4),
+    }))
+    print(f"# device={jax.devices()[0].device_kind} step_time={dt*1e3:.2f}ms "
+          f"(1 iter: {one_s:.3f}s, {iters} iters: {n_s:.3f}s, "
+          f"compile {compile_s:.1f}s) mode={'fwd' if forward_only else 'fwd+bwd'}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,13 +57,13 @@ def _next_branch(hit, small: float):
 def render_rays_chain(scene: FlatScene, o, v, *, max_depth: int,
                       small: float, attenuation_factor: float, prune: bool):
     """Iterative single-path bounce loop; [P,3] color."""
-    P = o.shape[0]
     dtype = o.dtype
-    color0 = jnp.zeros((P, 3), dtype)
-    thr0 = jnp.ones((P, 3), dtype)
-    alive0 = jnp.ones((P,), bool)
-
-    excl0 = jnp.full((P,), -1, jnp.int32)
+    # carries derived from the ray inputs so their sharding/varying types
+    # match the scan body outputs under shard_map
+    color0 = jnp.zeros_like(o)
+    thr0 = jnp.zeros_like(o) + 1.0
+    alive0 = jnp.zeros_like(o[:, 0]) == 0.0
+    excl0 = jnp.zeros_like(o[:, 0], dtype=jnp.int32) - 1
 
     def level(carry, _):
         o, v, excl, thr, alive, color = carry
@@ -175,7 +175,7 @@ def render_pixels(scene: FlatScene, camera: Camera, width: int, height: int,
         return carry + traced(o, v), None
 
     keys = jax.random.split(key, config.samples)
-    total, _ = jax.lax.scan(one_sample, jnp.zeros((P, 3), pts.dtype), keys)
+    total, _ = jax.lax.scan(one_sample, jnp.zeros_like(pts), keys)
     return total / config.samples
 
 

@@ -1,0 +1,5 @@
+from .fit import (FitParams, fit, l2_loss, make_fit_step,
+                  make_sharded_fit_step)
+
+__all__ = ["FitParams", "fit", "l2_loss", "make_fit_step",
+           "make_sharded_fit_step"]

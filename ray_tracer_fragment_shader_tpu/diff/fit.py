@@ -1,0 +1,127 @@
+"""Differentiable fitting: recover scene parameters from a target image
+(BASELINE config 4).
+
+The reference has no training story at all; this is the capability the
+"differentiable" in the north star adds: L2 photometric loss + Adam over
+sphere centers/radii, light positions, and (optionally) material colors,
+with gradients defined through fixed hit topology.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import RenderConfig
+from ..core.renderer import render_image, render_pixels
+from ..ops.rays import Camera
+from ..parallel.mesh import TILE_AXIS, make_mesh
+from ..parallel.shard import _pixel_index_arrays
+from ..scene.flat import FlatScene
+
+
+@struct.dataclass
+class FitParams:
+    """The differentiable subset of the scene (BASELINE: sphere geometry +
+    light positions; material color tables included for generality)."""
+    sph_center: Any
+    sph_radius: Any
+    light_pos: Any
+    mat_diffuse: Any
+    mat_specular: Any
+    mat_ambient: Any
+
+    @classmethod
+    def from_scene(cls, scene: FlatScene) -> "FitParams":
+        return cls(sph_center=scene.sph_center, sph_radius=scene.sph_radius,
+                   light_pos=scene.light_pos, mat_diffuse=scene.mat_diffuse,
+                   mat_specular=scene.mat_specular, mat_ambient=scene.mat_ambient)
+
+    def into_scene(self, scene: FlatScene) -> FlatScene:
+        return scene.replace(
+            sph_center=self.sph_center, sph_radius=self.sph_radius,
+            light_pos=self.light_pos, mat_diffuse=self.mat_diffuse,
+            mat_specular=self.mat_specular, mat_ambient=self.mat_ambient)
+
+
+def l2_loss(params: FitParams, scene: FlatScene, camera: Camera,
+            config: RenderConfig, target) -> jnp.ndarray:
+    img = render_image(params.into_scene(scene), camera, config)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_fit_step(scene: FlatScene, camera: Camera, config: RenderConfig,
+                  target, optimizer: optax.GradientTransformation):
+    """Single-device jitted Adam step."""
+
+    @jax.jit
+    def step(params: FitParams, opt_state):
+        loss, grads = jax.value_and_grad(l2_loss)(params, scene, camera,
+                                                  config, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_fit_step(scene: FlatScene, camera: Camera,
+                          config: RenderConfig, target_flat,
+                          optimizer: optax.GradientTransformation,
+                          mesh: Optional[Mesh] = None, axis: str = TILE_AXIS):
+    """Multi-chip training step: pixel tiles sharded over the mesh,
+    parameters replicated, gradients pmean'd over ICI, Adam applied
+    identically on every device (SPMD).
+
+    ``target_flat``: [H*W (padded to mesh size), 3] target pixels, sharded
+    along the leading axis together with the pixel index arrays.
+    """
+    mesh = make_mesh() if mesh is None else mesh
+    n = mesh.devices.size
+    ii, jj, total = _pixel_index_arrays(config.width, config.height, n)
+
+    def shard_loss(params: FitParams, batch):
+        ii, jj, tgt = batch
+        flat = render_pixels(params.into_scene(scene), camera, config.width,
+                             config.height, config, ij=(ii, jj))
+        return jnp.mean((flat - tgt) ** 2)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+                       out_specs=(P(), P(), P()),
+                       check_vma=False)
+    def sharded_step(params, opt_state, ii, jj, tgt):
+        loss, grads = jax.value_and_grad(shard_loss)(params, (ii, jj, tgt))
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(sharded_step)
+    return step, (ii, jj)
+
+
+def fit(scene: FlatScene, camera: Camera, config: RenderConfig, target,
+        steps: int = 200, learning_rate: float = 0.5,
+        params: Optional[FitParams] = None,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        log_every: int = 0) -> Tuple[FitParams, list]:
+    """Adam-fit the scene to a target image; returns (params, loss history)."""
+    optimizer = optax.adam(learning_rate) if optimizer is None else optimizer
+    params = FitParams.from_scene(scene) if params is None else params
+    opt_state = optimizer.init(params)
+    step = make_fit_step(scene, camera, config, target, optimizer)
+    history = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        history.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"fit step {i}: loss {float(loss):.6g}")
+    return params, history

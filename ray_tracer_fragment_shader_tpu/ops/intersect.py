@@ -57,14 +57,34 @@ class Hit:
 
 
 def _matdot(a, b_t):
-    """[P,3] x [N,3] -> [P,N] inner products.
+    """[P,3] x [N,3] -> [P,N] inner products as three fused broadcast FMAs
+    on the VPU.
 
-    precision=HIGHEST is required: the TPU default lowers f32 matmuls to
-    bfloat16 passes, whose ~3 decimal digits destroy the ray-geometry
-    cancellations (hit points land ~1 world unit off the surface, causing
-    catastrophic shadow acne)."""
-    return jnp.dot(a, b_t.T, preferred_element_type=a.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+    Deliberately NOT a matmul: a K=3 contraction pads to 128x128 MXU tiles
+    at <1% utilization, and the TPU default precision would run it in
+    bfloat16 passes whose ~3 decimal digits destroy the ray-geometry
+    cancellations (hit points land ~1 world unit off the surface ->
+    catastrophic shadow acne).  The FMA form is exact f32 and fuses."""
+    return (a[:, 0, None] * b_t[None, :, 0]
+            + a[:, 1, None] * b_t[None, :, 1]
+            + a[:, 2, None] * b_t[None, :, 2])
+
+
+def _onehot_rows(onehot, rows):
+    """[P,N] one-hot x [N,3] table -> [P,3] selected rows, as three masked
+    reductions (gather- and matmul-free)."""
+    return jnp.stack([jnp.sum(onehot * rows[None, :, k], axis=1)
+                      for k in range(rows.shape[1])], axis=-1)
+
+
+def _expand_groups(values, group_onehot):
+    """[P,G] per-group values -> [P,N] per-primitive values via the static
+    [G,N] membership one-hot, unrolled over the (small) group axis."""
+    G = group_onehot.shape[0]
+    out = values[:, 0, None] * group_onehot[0][None, :]
+    for g in range(1, G):
+        out = out + values[:, g, None] * group_onehot[g][None, :]
+    return out
 
 
 def group_prune_mask(scene: FlatScene, o, u, small: float):
@@ -114,10 +134,14 @@ def intersect_scene(scene: FlatScene, o, v, *, small: float = 1e-4,
 
     if prune:
         pruned = group_prune_mask(scene, o, u, small)  # [P,G]
-        tri_pruned = jnp.take_along_axis(
-            pruned, scene.tri_group[None, :].repeat(P, 0), axis=1)
-        sph_pruned = jnp.take_along_axis(
-            pruned, scene.sph_group[None, :].repeat(P, 0), axis=1)
+        # group -> primitive expansion as a [P,G] x [G,N] one-hot matmul
+        # (per-ray gathers are poison on TPU; see the one-hot note below)
+        gids = jnp.arange(scene.num_groups, dtype=jnp.int32)
+        tri_g = (gids[:, None] == scene.tri_group[None, :]).astype(dtype)
+        sph_g = (gids[:, None] == scene.sph_group[None, :]).astype(dtype)
+        pruned_f = pruned.astype(dtype)
+        tri_pruned = _expand_groups(pruned_f, tri_g) > 0.5
+        sph_pruned = _expand_groups(pruned_f, sph_g) > 0.5
     else:
         tri_pruned = jnp.zeros((P, nt), bool)
         sph_pruned = jnp.zeros((P, ns), bool)
@@ -166,21 +190,25 @@ def intersect_scene(scene: FlatScene, o, v, *, small: float = 1e-4,
         col = jax.lax.broadcasted_iota(jnp.int32, all_dist.shape, 1)
         all_dist = jnp.where(col == exclude_id[:, None], BIG, all_dist)
     best = jnp.argmin(all_dist, axis=1)
-    best_dist = jnp.take_along_axis(all_dist, best[:, None], axis=1)[:, 0]
+    # Per-ray gathers (take_along_axis / fancy indexing) run on the TPU's
+    # slow scalar path; everything below is phrased as one-hot reductions
+    # and small [P,N] x [N,k] matmuls on the MXU instead.
+    col = jax.lax.broadcasted_iota(jnp.int32, all_dist.shape, 1)
+    onehot_b = col == best[:, None]              # [P, nt+ns] bool
+    onehot = onehot_b.astype(dtype)
+    oh_tri, oh_sph = onehot[:, :nt], onehot[:, nt:]
+    best_dist = jnp.sum(all_dist * onehot, axis=1)
     valid = best_dist < BIG
-
     is_tri = best < nt
-    tri_idx = jnp.where(is_tri, best, 0)
-    sph_idx = jnp.where(is_tri, 0, best - nt)
 
     # --- recover per-ray hit attributes for the winning primitive
-    m_best = jnp.take_along_axis(m, tri_idx[:, None], axis=1)[:, 0]
+    m_best = jnp.sum(m * oh_tri, axis=1)
     point_tri = o + m_best[:, None] * v
-    n_tri = n[tri_idx]
+    n_tri = _onehot_rows(oh_tri, n)              # [P,3] one-hot select
 
-    s_best = jnp.take_along_axis(s_sph, sph_idx[:, None], axis=1)[:, 0]
+    s_best = jnp.sum(s_sph * oh_sph, axis=1)
     point_sph = o + s_best[:, None] * u
-    d0 = point_sph - c[sph_idx]
+    d0 = point_sph - _onehot_rows(oh_sph, c)
     d0_len = norm3(d0)
     n_sph = d0 * safe_div(jnp.ones_like(d0_len), d0_len, d0_len > 0)[:, None]
 
@@ -189,25 +217,52 @@ def intersect_scene(scene: FlatScene, o, v, *, small: float = 1e-4,
     normal = jnp.where(is_tri[:, None], n_tri, n_sph)
     normal = jnp.where(valid[:, None], normal, jnp.zeros_like(normal))
 
-    mat_id = jnp.where(is_tri, scene.tri_mat[tri_idx], scene.sph_mat[sph_idx])
+    # --- per-primitive material rows (tiny static-size gathers from the
+    # material table, no [P]-indexed gathers), selected by the hit one-hot
+    prim_amb = jnp.concatenate([scene.mat_ambient[scene.tri_mat],
+                                scene.mat_ambient[scene.sph_mat]], 0)
+    prim_dif = jnp.concatenate([scene.mat_diffuse[scene.tri_mat],
+                                scene.mat_diffuse[scene.sph_mat]], 0)
+    prim_spe = jnp.concatenate([scene.mat_specular[scene.tri_mat],
+                                scene.mat_specular[scene.sph_mat]], 0)
+    prim_trn = jnp.concatenate([scene.mat_transparency[scene.tri_mat],
+                                scene.mat_transparency[scene.sph_mat]], 0)
+    prim_rho = jnp.concatenate([scene.mat_refraction[scene.tri_mat],
+                                scene.mat_refraction[scene.sph_mat]], 0)
+    prim_chk = jnp.concatenate([scene.tri_checker,
+                                jnp.zeros((ns,), bool)], 0).astype(dtype)
+
+    ambient = _onehot_rows(onehot, prim_amb)
+    diffuse = _onehot_rows(onehot, prim_dif)
+    specular = _onehot_rows(onehot, prim_spe)
+    transparency = _onehot_rows(onehot, prim_trn)
+    refraction = jnp.sum(onehot * prim_rho[None, :], axis=1)
+    refraction = jnp.where(valid, refraction, 1.0)
 
     # --- checkerboard procedural override (CheckerBoard::intersection):
-    # square parity of the board-local hit point with C-style int() truncation
-    is_checker = is_tri & scene.tri_checker[tri_idx] & valid
+    # square parity of the board-local hit point with C-style int()
+    # truncation; the two square materials are static rows (checker_mats)
+    # so the override is a pure where-select, gather-free.
+    is_checker = (jnp.sum(onehot * prim_chk[None, :], axis=1) > 0.5) & valid
     prel = point - scene.board_pos[None, :]
     px = prel[:, 0] + scene.board_half
     pz = prel[:, 2] + scene.board_half
     sq_sum = (jnp.trunc(px / scene.board_square).astype(jnp.int32)
               + jnp.trunc(pz / scene.board_square).astype(jnp.int32))
     white_id, black_id = scene.checker_mats
-    checker_id = jnp.where(sq_sum % 2 == 0, white_id, black_id).astype(mat_id.dtype)
-    mat_id = jnp.where(is_checker, checker_id, mat_id)
-
-    ambient = scene.mat_ambient[mat_id]
-    diffuse = scene.mat_diffuse[mat_id]
-    specular = scene.mat_specular[mat_id]
-    transparency = scene.mat_transparency[mat_id]
-    refraction = scene.mat_refraction[mat_id]
+    even = (sq_sum % 2 == 0)
+    def _chk(table):
+        sel = jnp.where(even[:, None], table[white_id][None, :],
+                        table[black_id][None, :])
+        return jnp.where(is_checker[:, None], sel, 0.0)
+    ambient = jnp.where(is_checker[:, None], 0.0, ambient) + _chk(scene.mat_ambient)
+    diffuse = jnp.where(is_checker[:, None], 0.0, diffuse) + _chk(scene.mat_diffuse)
+    specular = jnp.where(is_checker[:, None], 0.0, specular) + _chk(scene.mat_specular)
+    transparency = (jnp.where(is_checker[:, None], 0.0, transparency)
+                    + _chk(scene.mat_transparency))
+    rho_chk = jnp.where(even, scene.mat_refraction[white_id],
+                        scene.mat_refraction[black_id])
+    refraction = jnp.where(is_checker, rho_chk, refraction)
 
     # --- secondary directions from the unit incoming direction and the
     # geometric (unflipped) normal: r = u - 2(u.n)n; Snell/thin-lens t with
