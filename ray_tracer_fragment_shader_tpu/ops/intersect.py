@@ -35,7 +35,9 @@ from flax import struct
 from ..scene.flat import FlatScene, tri_derived
 from ..utils.jmath import dot3, norm3, safe_div, safe_sqrt
 
-BIG = jnp.float32(3.0e38)
+# plain Python float (a module-level jnp constant would initialize the JAX
+# backend at import time, defeating later platform selection e.g. --cpu)
+BIG = 3.0e38
 
 
 @struct.dataclass

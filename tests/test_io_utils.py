@@ -1,0 +1,98 @@
+"""Image IO, checkpointing, guards, logging, CLI."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ray_tracer_fragment_shader_tpu.io.image import (read_ppm, to_uint8,
+                                                     write_ppm, write_image)
+from ray_tracer_fragment_shader_tpu.utils.checkpoint import (restore_checkpoint,
+                                                             save_checkpoint)
+from ray_tracer_fragment_shader_tpu.utils.guards import assert_finite
+from ray_tracer_fragment_shader_tpu.utils.logging import JsonlLogger
+
+
+def test_ppm_roundtrip(tmp_path):
+    img = np.random.RandomState(0).rand(8, 6, 3)
+    path = str(tmp_path / "x.ppm")
+    write_ppm(path, img)
+    back = read_ppm(path)
+    assert back.shape == (8, 6, 3)
+    np.testing.assert_array_equal(back, to_uint8(img))
+
+
+def test_to_uint8_clamps_and_flips():
+    img = np.zeros((2, 1, 3))
+    img[0, 0] = [2.0, -1.0, 0.5]  # bottom scanline (GL coords)
+    out = to_uint8(img)
+    # flipped: bottom scanline becomes last raster row; clamped to [0,255]
+    np.testing.assert_array_equal(out[1, 0], [255, 0, 128])
+
+
+def test_write_image_npy(tmp_path):
+    img = np.random.rand(4, 4, 3).astype(np.float32)
+    p = str(tmp_path / "x.npy")
+    write_image(p, img)
+    np.testing.assert_array_equal(np.load(p), img)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from ray_tracer_fragment_shader_tpu.diff.fit import FitParams
+    from ray_tracer_fragment_shader_tpu.scene import presets
+    scene, _, _ = presets.fit_target(size=8)
+    params = FitParams.from_scene(scene)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params)
+    restored = restore_checkpoint(path, params)
+    np.testing.assert_array_equal(np.asarray(restored.sph_center),
+                                  np.asarray(params.sph_center))
+
+
+def test_assert_finite_raises():
+    with pytest.raises(FloatingPointError):
+        assert_finite({"x": np.array([1.0, np.nan])})
+    assert_finite({"x": np.array([1.0, 2.0])})  # no raise
+
+
+def test_jsonl_logger(tmp_path):
+    p = str(tmp_path / "log.jsonl")
+    with JsonlLogger(path=p) as log:
+        log.log({"step": 1, "loss": 0.5})
+        log.log({"step": 2, "loss": 0.25})
+    lines = [json.loads(l) for l in open(p)]
+    assert lines[0]["step"] == 1 and lines[1]["loss"] == 0.25
+    assert "t" in lines[0]
+
+
+def test_cli_render_and_interactive(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = str(tmp_path / "r.ppm")
+    r = subprocess.run(
+        [sys.executable, "-m", "ray_tracer_fragment_shader_tpu.cli", "render",
+         "--preset", "single_sphere", "--size", "32", "--cpu", "--out", out],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+
+    out2 = str(tmp_path / "i.ppm")
+    r = subprocess.run(
+        [sys.executable, "-m", "ray_tracer_fragment_shader_tpu.cli",
+         "interactive", "--size", "24", "--depth", "1", "--cpu", "--out", out2],
+        input="d\nc4\nyes\na\nb6\nno\n",
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out2)
+    assert "sphere" in r.stdout
+
+
+def test_checked_render_clean():
+    import jax
+    from ray_tracer_fragment_shader_tpu.core.renderer import render_image
+    from ray_tracer_fragment_shader_tpu.scene import presets
+    from ray_tracer_fragment_shader_tpu.utils.guards import checked_render
+    scene, cam, cfg = presets.single_sphere(size=16)
+    out = checked_render(render_image, scene, cam, cfg)
+    assert np.isfinite(np.asarray(out)).all()
