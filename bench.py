@@ -27,15 +27,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: Mosaic/XLA compiles of the big render
+# programs cost minutes through the tunnel; pay them once per machine.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     forward_only = os.environ.get("BENCH_FORWARD_ONLY", "0") == "1"
+    # forward backend: the fused Pallas kernel (default on TPU) or XLA
+    backend = os.environ.get("BENCH_BACKEND",
+                             "pallas" if forward_only else "xla")
 
     from ray_tracer_fragment_shader_tpu.core.renderer import render_image
     from ray_tracer_fragment_shader_tpu.diff.fit import FitParams, l2_loss
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        render_image_pallas)
     from ray_tracer_fragment_shader_tpu.ops.rays import Camera
     from ray_tracer_fragment_shader_tpu.scene import presets
 
@@ -50,11 +61,16 @@ def main() -> None:
 
     params0 = FitParams.from_scene(scene)
 
+    render_fwd = (render_image_pallas if backend == "pallas"
+                  else render_image)
+
     def one_iter(accum, eps):
-        p = params0.replace(sph_center=params0.sph_center + eps)
         if forward_only:
-            img = render_image(p.into_scene(scene), camera, config)
+            # perturb the camera so the (concrete) scene stays compactable
+            cam2 = camera.replace(eye=camera.eye + eps)
+            img = render_fwd(scene, cam2, config)
             return accum + jnp.mean(img), None
+        p = params0.replace(sph_center=params0.sph_center + eps)
         loss, grads = jax.value_and_grad(l2_loss)(p, scene, camera, config,
                                                   target)
         return accum + loss + jnp.mean(grads.sph_radius), None

@@ -1,0 +1,430 @@
+"""Fused Pallas forward render kernel — the "fragment shader" the reference
+assignment planned but never finished (Hw4/TODO.txt:13-33: fullscreen quad,
+scene as uniform arrays of structs, intersection as plain functions), realized
+as a TPU kernel.
+
+One kernel invocation renders a (BH, 128*k) pixel tile end-to-end: camera
+rays in, RGB out.  The whole bounce chain — closest-hit over all primitives,
+transparency-aware shadow rays, Phong shading with distance attenuation,
+reflect/transmit child-ray selection — runs in VMEM registers with zero HBM
+round-trips between stages.  Scene parameters live in SMEM as scalar tables
+(the TODO's "uniform arrays of structs"), looped over with fori_loop.
+
+Scope (matches the chain renderer, core/renderer.py):
+  * chain-exact scenes (every material transparency all-0 or all-1 — true of
+    all reference materials); scenes needing the full bounce tree fall back
+    to the XLA tree renderer;
+  * bounding-sphere pruning is skipped: for well-formed scenes (geometry
+    inside its bounding spheres) it is a pure optimization with no image
+    effect (tested in test_oracle_parity.py); closest-hit over <=100
+    primitives is cheaper than the prune arithmetic at tile granularity;
+  * the origin-primitive exclusion (SEMANTICS.md D1) is preserved exactly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..ops.rays import Camera, primary_rays, sample_jitter, screen_points
+from ..scene.flat import FlatScene, tri_derived
+
+BIG = 3.0e38
+
+# SMEM table layouts (one row per primitive/material/light)
+SPH_COLS = 8    # cx cy cz r mat valid - -
+TRI_COLS = 24   # v0(3) n(3) u(3) v(3) uv uu vv denom ndotv0 mat checker degenerate+valid(=ok) - -
+MAT_COLS = 20   # amb(3) dif(3) spe(3) trn(3) rho take_trans refl_ok transp_any - - -
+LIGHT_COLS = 8  # pos(3) color(3) - -
+MISC_COLS = 16  # eye(3) board_pos(3) board_half board_square - -
+
+
+def pack_scene(scene: FlatScene) -> Dict[str, Any]:
+    """FlatScene -> SMEM scalar tables (the kernel's 'uniforms').
+
+    When the scene is concrete (not traced), padding primitives are
+    compacted away so the kernel's primitive loops only visit real
+    geometry."""
+    try:  # compact padding if the masks are concrete
+        tv = np.asarray(scene.tri_valid)
+        sv = np.asarray(scene.sph_valid)
+        if not tv.all() or not sv.all():
+            import jax as _jax
+            take_t = np.nonzero(tv)[0]
+            take_s = np.nonzero(sv)[0]
+            scene = scene.replace(
+                tri_v0=scene.tri_v0[take_t], tri_v1=scene.tri_v1[take_t],
+                tri_v2=scene.tri_v2[take_t], tri_mat=scene.tri_mat[take_t],
+                tri_checker=scene.tri_checker[take_t],
+                tri_group=scene.tri_group[take_t],
+                tri_valid=scene.tri_valid[take_t],
+                sph_center=scene.sph_center[take_s],
+                sph_radius=scene.sph_radius[take_s],
+                sph_mat=scene.sph_mat[take_s],
+                sph_group=scene.sph_group[take_s],
+                sph_valid=scene.sph_valid[take_s])
+    except Exception:
+        pass  # traced scene: keep padding, valid flags mask it
+    f32 = jnp.float32
+    ns, nt, m, l = (scene.num_spheres, scene.num_triangles,
+                    scene.num_materials, scene.num_lights)
+
+    sph = jnp.zeros((max(ns, 1), SPH_COLS), f32)
+    sph = sph.at[:ns, 0:3].set(scene.sph_center.astype(f32))
+    sph = sph.at[:ns, 3].set(scene.sph_radius.astype(f32))
+    sph = sph.at[:ns, 4].set(scene.sph_mat.astype(f32))
+    sph = sph.at[:ns, 5].set(scene.sph_valid.astype(f32))
+
+    der = tri_derived(scene.tri_v0.astype(f32), scene.tri_v1.astype(f32),
+                      scene.tri_v2.astype(f32))
+    tri = jnp.zeros((max(nt, 1), TRI_COLS), f32)
+    tri = tri.at[:nt, 0:3].set(scene.tri_v0.astype(f32))
+    tri = tri.at[:nt, 3:6].set(der["n"])
+    tri = tri.at[:nt, 6:9].set(der["u"])
+    tri = tri.at[:nt, 9:12].set(der["v"])
+    tri = tri.at[:nt, 12].set(der["uv"])
+    tri = tri.at[:nt, 13].set(der["uu"])
+    tri = tri.at[:nt, 14].set(der["vv"])
+    tri = tri.at[:nt, 15].set(der["denominator"])
+    tri = tri.at[:nt, 16].set(jnp.sum(der["n"] * scene.tri_v0.astype(f32), -1))
+    tri = tri.at[:nt, 17].set(scene.tri_mat.astype(f32))
+    tri = tri.at[:nt, 18].set(scene.tri_checker.astype(f32))
+    ok = jnp.logical_and(scene.tri_valid, ~der["degenerate"]).astype(f32)
+    tri = tri.at[:nt, 19].set(ok)
+
+    small = 1e-4  # |T| > SMALL check of the transmit gate (:1238)
+    T = scene.mat_transparency.astype(f32)
+    t_any = jnp.any(T != 0.0, -1)
+    t_len = jnp.sqrt(jnp.sum(T * T, -1))
+    take_trans = jnp.logical_and(t_any, t_len > small)
+    refl_ok = jnp.any((1.0 - T) != 0.0, -1)
+    mat = jnp.zeros((max(m, 1), MAT_COLS), f32)
+    mat = mat.at[:m, 0:3].set(scene.mat_ambient.astype(f32))
+    mat = mat.at[:m, 3:6].set(scene.mat_diffuse.astype(f32))
+    mat = mat.at[:m, 6:9].set(scene.mat_specular.astype(f32))
+    mat = mat.at[:m, 9:12].set(T)
+    mat = mat.at[:m, 12].set(scene.mat_refraction.astype(f32))
+    mat = mat.at[:m, 13].set(take_trans.astype(f32))
+    mat = mat.at[:m, 14].set(refl_ok.astype(f32))
+    mat = mat.at[:m, 15].set(t_any.astype(f32))
+
+    light = jnp.zeros((max(l, 1), LIGHT_COLS), f32)
+    light = light.at[:l, 0:3].set(scene.light_pos.astype(f32))
+    light = light.at[:l, 3:6].set(scene.light_color.astype(f32))
+
+    misc = jnp.zeros((MISC_COLS,), f32)
+    misc = misc.at[3:6].set(scene.board_pos.astype(f32))
+    misc = misc.at[6].set(scene.board_half.astype(f32))
+    misc = misc.at[7].set(scene.board_square.astype(f32))
+    return dict(sph=sph, tri=tri, mat=mat, light=light, misc=misc)
+
+
+def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                        vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref, *,
+                        ns: int, nt: int, m: int, nl: int, depth: int,
+                        small: float, atten: float,
+                        white_id: int, black_id: int):
+    shape = vx_ref.shape
+    f32 = jnp.float32
+
+    def full(x):
+        return jnp.full(shape, x, f32)
+
+    eye_x, eye_y, eye_z = misc_ref[0], misc_ref[1], misc_ref[2]
+    board_x, board_z = misc_ref[3], misc_ref[5]
+    board_half, board_sq = misc_ref[6], misc_ref[7]
+
+    def intersect_all(ox, oy, oz, vx, vy, vz, excl, ray_ok):
+        """Closest hit over all primitives (triangles first: insertion-order
+        tie-breaking like Shape::intersection's strict <)."""
+        vlen2 = vx * vx + vy * vy + vz * vz
+        ok = jnp.logical_and(ray_ok, vlen2 > 0.0)
+        inv_vlen = jax.lax.rsqrt(jnp.where(ok, vlen2, 1.0))
+        vlen = vlen2 * inv_vlen  # sqrt(x) = x * rsqrt(x)
+        ux, uy, uz = vx * inv_vlen, vy * inv_vlen, vz * inv_vlen
+
+        def tri_body(i, carry):
+            bd, bi = carry
+            nx, ny, nz = tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]
+            ndv = nx * vx + ny * vy + nz * vz
+            plane_ok = jnp.abs(ndv) >= small
+            ndo = nx * ox + ny * oy + nz * oz
+            mm = (tri_ref[i, 16] - ndo) / jnp.where(plane_ok, ndv, 1.0)
+            # barycentric via precomputed edge dots
+            px = ox + mm * vx - tri_ref[i, 0]
+            py = oy + mm * vy - tri_ref[i, 1]
+            pz = oz + mm * vz - tri_ref[i, 2]
+            wu = px * tri_ref[i, 6] + py * tri_ref[i, 7] + pz * tri_ref[i, 8]
+            wv = px * tri_ref[i, 9] + py * tri_ref[i, 10] + pz * tri_ref[i, 11]
+            uv, uu, vv_ = tri_ref[i, 12], tri_ref[i, 13], tri_ref[i, 14]
+            inv_den = 1.0 / tri_ref[i, 15]
+            sb = (uv * wv - vv_ * wu) * inv_den
+            tb = (uv * wu - uu * wv) * inv_den
+            i_f = i.astype(f32)
+            hit = (plane_ok & (mm >= small) & (sb >= 0.0) & (tb >= 0.0)
+                   & (sb + tb <= 1.0) & ok & (excl != i_f)
+                   & (tri_ref[i, 19] > 0.5))
+            dist = jnp.where(hit, mm * vlen, BIG)
+            upd = dist < bd
+            return jnp.where(upd, dist, bd), jnp.where(upd, i_f, bi)
+
+        def sph_body(i, carry):
+            bd, bi = carry
+            dx = sph_ref[i, 0] - ox
+            dy = sph_ref[i, 1] - oy
+            dz = sph_ref[i, 2] - oz
+            ud = ux * dx + uy * dy + uz * dz
+            rad = sph_ref[i, 3]
+            disc = ud * ud - (dx * dx + dy * dy + dz * dz) + rad * rad
+            disc_ok = disc > 0.0
+            s = ud - jnp.sqrt(jnp.where(disc_ok, disc, 1.0)) * jnp.where(disc_ok, 1.0, 0.0)
+            i_f = (i + nt).astype(f32)
+            hit = ((disc >= 0.0) & (s >= small) & ok & (excl != i_f)
+                   & (sph_ref[i, 5] > 0.5))
+            dist = jnp.where(hit, s, BIG)
+            upd = dist < bd
+            return jnp.where(upd, dist, bd), jnp.where(upd, i_f, bi)
+
+        bd, bi = jax.lax.fori_loop(0, nt, tri_body, (full(BIG), full(-1.0)))
+        bd, bi = jax.lax.fori_loop(0, ns, sph_body, (bd, bi))
+        return bd, bi, ux, uy, uz, vlen
+
+    # ---- per-ray state (the chain carry); the bounce-level loop is a
+    # fori_loop so the Mosaic program stays small regardless of depth ----
+    def level_body(_level, carry):
+        (ox, oy, oz, vx, vy, vz, thr_r, thr_g, thr_b,
+         col_r, col_g, col_b, excl, alive_f) = carry
+        alive = alive_f > 0.5
+        bd, bi, ux, uy, uz, _vlen = intersect_all(ox, oy, oz, vx, vy, vz,
+                                                  excl, alive)
+        hitm = jnp.logical_and(bd < BIG, alive)
+
+        # ---- winning-primitive attributes (mask-blend over primitives) ----
+        def tri_attr(i, c):
+            nx, ny, nz, mid, chk = c
+            sel = bi == i.astype(f32)
+            return (jnp.where(sel, tri_ref[i, 3], nx),
+                    jnp.where(sel, tri_ref[i, 4], ny),
+                    jnp.where(sel, tri_ref[i, 5], nz),
+                    jnp.where(sel, tri_ref[i, 17], mid),
+                    jnp.where(sel, tri_ref[i, 18], chk))
+
+        def sph_attr(i, c):
+            cx, cy, cz, rad, mid = c
+            sel = bi == (i + nt).astype(f32)
+            return (jnp.where(sel, sph_ref[i, 0], cx),
+                    jnp.where(sel, sph_ref[i, 1], cy),
+                    jnp.where(sel, sph_ref[i, 2], cz),
+                    jnp.where(sel, sph_ref[i, 3], rad),
+                    jnp.where(sel, sph_ref[i, 4], mid))
+
+        tnx, tny, tnz, tmid, tchk = jax.lax.fori_loop(
+            0, nt, tri_attr, (full(0.0),) * 5)
+        scx, scy, scz, srad, smid = jax.lax.fori_loop(
+            0, ns, sph_attr, (full(0.0),) * 5)
+
+        is_tri = bi < nt
+        # hit point (bd holds the Euclidean distance for both primitive
+        # kinds, so point = o + bd * u)
+        bd_safe = jnp.where(hitm, bd, 0.0)
+        px = ox + bd_safe * ux
+        py = oy + bd_safe * uy
+        pz = oz + bd_safe * uz
+
+        d0x, d0y, d0z = px - scx, py - scy, pz - scz
+        d0sq = d0x * d0x + d0y * d0y + d0z * d0z
+        inv_d0 = jax.lax.rsqrt(jnp.where(d0sq > 0.0, d0sq, 1.0))
+        nx = jnp.where(is_tri, tnx, d0x * inv_d0)
+        ny = jnp.where(is_tri, tny, d0y * inv_d0)
+        nz = jnp.where(is_tri, tnz, d0z * inv_d0)
+        nx = jnp.where(hitm, nx, 0.0); ny = jnp.where(hitm, ny, 0.0)
+        nz = jnp.where(hitm, nz, 0.0)
+
+        mid = jnp.where(is_tri, tmid, smid)
+        # checkerboard override: square parity with C truncation (:1101-1111)
+        fx = jnp.trunc((px - board_x + board_half) / board_sq)
+        fz = jnp.trunc((pz - board_z + board_half) / board_sq)
+        parity_even = jnp.mod(fx + fz, 2.0) == 0.0
+        is_chk = jnp.logical_and(is_tri, tchk > 0.5)
+        mid = jnp.where(is_chk,
+                        jnp.where(parity_even, float(white_id), float(black_id)),
+                        mid)
+
+        # ---- material fields (mask-blend over the material table) ----
+        def mat_attr(j, c):
+            sel = mid == j.astype(f32)
+            out = []
+            for k in range(13):  # amb3 dif3 spe3 trn3 rho
+                out.append(jnp.where(sel, mat_ref[j, k], c[k]))
+            out.append(jnp.where(sel, mat_ref[j, 13], c[13]))  # take_trans
+            out.append(jnp.where(sel, mat_ref[j, 14], c[14]))  # refl_ok
+            return tuple(out)
+
+        mats = jax.lax.fori_loop(0, m, mat_attr, (full(0.0),) * 15)
+        (amb_r, amb_g, amb_b, dif_r, dif_g, dif_b, spe_r, spe_g, spe_b,
+         trn_r, trn_g, trn_b, rho, take_trans_f, refl_ok_f) = mats
+
+        # ---- secondary directions ----
+        cosi = ux * nx + uy * ny + uz * nz
+        rx = ux - 2.0 * cosi * nx
+        ry = uy - 2.0 * cosi * ny
+        rz = uz - 2.0 * cosi * nz
+        modulus = 1.0 - rho * rho * (1.0 - cosi * cosi)
+        mod_ok = modulus > 0.0
+        mod_f = jnp.where(mod_ok, 1.0, 0.0)
+        cosr = jnp.sqrt(jnp.where(mod_ok, modulus, 1.0)) * mod_f
+        coef = cosr + rho * cosi
+        tx = (rho * ux - coef * nx) * mod_f
+        ty = (rho * uy - coef * ny) * mod_f
+        tz = (rho * uz - coef * nz) * mod_f
+
+        # ---- shadows + Phong for each light ----
+        for li in range(nl):
+            lx, ly, lz = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
+            lr, lg, lb = light_ref[li, 3], light_ref[li, 4], light_ref[li, 5]
+            svx, svy, svz = lx - px, ly - py, lz - pz
+            sd, si, _sux, _suy, _suz, _svlen = intersect_all(
+                px, py, pz, svx, svy, svz, bi, hitm)
+            # nearest occluder's "any transparency" flag via its material
+            def occ_tattr(i, c):
+                sel = si == i.astype(f32)
+                return jnp.where(sel, tri_ref[i, 17], c)
+            def occ_sattr(i, c):
+                sel = si == (i + nt).astype(f32)
+                return jnp.where(sel, sph_ref[i, 4], c)
+            omid = jax.lax.fori_loop(0, nt, occ_tattr, full(0.0))
+            omid = jax.lax.fori_loop(0, ns, occ_sattr, omid)
+            def occ_mat(j, c):
+                sel = omid == j.astype(f32)
+                return jnp.where(sel, mat_ref[j, 15], c)
+            occ_transp = jax.lax.fori_loop(0, m, occ_mat, full(0.0))
+            # (checker squares are opaque; the override never changes the
+            # transparency-nonzero flag, so the occluder mat is enough)
+            lit = jnp.logical_or(sd >= BIG, occ_transp > 0.5)
+
+            d2 = svx * svx + svy * svy + svz * svz
+            att = atten / (atten + d2)
+            inv_sl = jax.lax.rsqrt(jnp.where(d2 > 0.0, d2, 1.0))
+            ndots = jnp.abs(nx * svx + ny * svy + nz * svz) * inv_sl
+            udotr = jnp.abs(ux * rx + uy * ry + uz * rz)
+            w = jnp.where(jnp.logical_and(lit, hitm), att, 0.0)
+            col_r += thr_r * w * (amb_r + ndots * dif_r + udotr * spe_r) * lr
+            col_g += thr_g * w * (amb_g + ndots * dif_g + udotr * spe_g) * lg
+            col_b += thr_b * w * (amb_b + ndots * dif_b + udotr * spe_b) * lb
+
+        # ---- child ray selection (chain-exact) ----
+        take_t = take_trans_f > 0.5
+        nvx = jnp.where(take_t, tx, rx)
+        nvy = jnp.where(take_t, ty, ry)
+        nvz = jnp.where(take_t, tz, rz)
+        thr_r *= jnp.where(take_t, trn_r, 1.0 - trn_r)
+        thr_g *= jnp.where(take_t, trn_g, 1.0 - trn_g)
+        thr_b *= jnp.where(take_t, trn_b, 1.0 - trn_b)
+        branch_f = jnp.where(take_t,
+                             jnp.where(nvx * nvx + nvy * nvy + nvz * nvz > 0.0,
+                                       1.0, 0.0),
+                             jnp.where(refl_ok_f > 0.5, 1.0, 0.0))
+        alive_f = jnp.where(jnp.logical_and(hitm, branch_f > 0.5), 1.0, 0.0)
+        return (px, py, pz, nvx, nvy, nvz, thr_r, thr_g, thr_b,
+                col_r, col_g, col_b, bi, alive_f)
+
+    init = (full(eye_x), full(eye_y), full(eye_z),
+            vx_ref[:], vy_ref[:], vz_ref[:],
+            full(1.0), full(1.0), full(1.0),
+            full(0.0), full(0.0), full(0.0),
+            full(-1.0), full(1.0))
+    out = jax.lax.fori_loop(0, depth + 1, level_body, init)
+    r_ref[:] = out[9]
+    g_ref[:] = out[10]
+    b_ref[:] = out[11]
+
+
+def _pad_to(x, mult, axis):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
+                        key=None, block_h: int = 32, block_w: int = 256,
+                        interpret: bool = None):
+    """Full-frame Pallas render -> [H,W,3] (j=0 bottom, like the core).
+
+    ``interpret``: run the kernel in the Pallas interpreter (for CPU tests);
+    default auto-detects a non-TPU backend."""
+    if not scene.chain_exact:
+        raise ValueError("Pallas kernel supports chain-exact scenes; use the "
+                         "core tree renderer for fractional transparency")
+    from ..config import CameraConfig
+    if isinstance(camera, CameraConfig):
+        camera = Camera.from_config(camera, config.width, config.height)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    packed = dict(pack_scene(scene))
+    packed["misc"] = packed["misc"].at[0:3].set(
+        camera.eye.astype(jnp.float32))
+    w, h = config.width, config.height
+    pts = screen_points(camera, w, h)
+
+    def one_sample(pts_s):
+        o, v = primary_rays(camera, pts_s)
+        vx = _pad_img(v[:, 0], h, w, block_h, block_w)
+        vy = _pad_img(v[:, 1], h, w, block_h, block_w)
+        vz = _pad_img(v[:, 2], h, w, block_h, block_w)
+        ph, pw = vx.shape
+        kernel = functools.partial(
+            _render_tile_kernel,
+            ns=packed["sph"].shape[0], nt=packed["tri"].shape[0],
+            m=scene.num_materials, nl=scene.num_lights,
+            depth=config.max_depth, small=config.small_number,
+            atten=config.attenuation_factor,
+            white_id=scene.checker_mats[0], black_id=scene.checker_mats[1])
+        grid = (ph // block_h, pw // block_w)
+        smem = lambda r: pl.BlockSpec(memory_space=pltpu.SMEM)
+        tile = pl.BlockSpec((block_h, block_w),
+                            lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[smem(None)] * 5 + [tile] * 3,
+            out_specs=[tile] * 3,
+            out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 3,
+            interpret=interpret,
+        )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
+          packed["misc"], vx, vy, vz)
+        img = jnp.stack([out[0][:h, :w], out[1][:h, :w], out[2][:h, :w]], -1)
+        return img
+
+    use_jitter = config.samples > 1 or config.force_jitter
+    if not use_jitter:
+        return one_sample(pts)
+    if key is None:
+        key = jax.random.PRNGKey(config.seed)
+
+    def body(carry, k):
+        jit = sample_jitter(k, pts.shape[0], config.jitter_scale,
+                            dtype=pts.dtype)
+        return carry + one_sample(pts + jit), None
+
+    keys = jax.random.split(key, config.samples)
+    total, _ = jax.lax.scan(body, jnp.zeros((h, w, 3), jnp.float32), keys)
+    return total / config.samples
+
+
+def _pad_img(flat, h, w, block_h, block_w):
+    img = flat.reshape(h, w)
+    img = _pad_to(img, block_h, 0)
+    img = _pad_to(img, block_w, 1)
+    return img
