@@ -39,12 +39,12 @@ def main() -> None:
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     forward_only = os.environ.get("BENCH_FORWARD_ONLY", "0") == "1"
-    # forward backend: the fused Pallas kernel (default on TPU) or XLA
-    backend = os.environ.get("BENCH_BACKEND",
-                             "pallas" if forward_only else "xla")
+    # backend: the fused Pallas kernel + replay adjoint (default) or XLA
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
 
     from ray_tracer_fragment_shader_tpu.core.renderer import render_image
     from ray_tracer_fragment_shader_tpu.diff.fit import FitParams, l2_loss
+    from ray_tracer_fragment_shader_tpu.kernels.adjoint import l2_loss_pallas
     from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
         render_image_pallas)
     from ray_tracer_fragment_shader_tpu.ops.rays import Camera
@@ -63,6 +63,7 @@ def main() -> None:
 
     render_fwd = (render_image_pallas if backend == "pallas"
                   else render_image)
+    loss_fn = l2_loss_pallas if backend == "pallas" else l2_loss
 
     def one_iter(accum, eps):
         if forward_only:
@@ -71,7 +72,7 @@ def main() -> None:
             img = render_fwd(scene, cam2, config)
             return accum + jnp.mean(img), None
         p = params0.replace(sph_center=params0.sph_center + eps)
-        loss, grads = jax.value_and_grad(l2_loss)(p, scene, camera, config,
+        loss, grads = jax.value_and_grad(loss_fn)(p, scene, camera, config,
                                                   target)
         return accum + loss + jnp.mean(grads.sph_radius), None
 

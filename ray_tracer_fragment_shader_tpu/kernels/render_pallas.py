@@ -45,32 +45,38 @@ LIGHT_COLS = 8  # pos(3) color(3) - -
 MISC_COLS = 16  # eye(3) board_pos(3) board_half board_square - -
 
 
-def pack_scene(scene: FlatScene) -> Dict[str, Any]:
-    """FlatScene -> SMEM scalar tables (the kernel's 'uniforms').
-
-    When the scene is concrete (not traced), padding primitives are
-    compacted away so the kernel's primitive loops only visit real
-    geometry."""
-    try:  # compact padding if the masks are concrete
+def compact_scene(scene: FlatScene) -> FlatScene:
+    """Drop padding primitives when the *valid masks* are concrete (the
+    float arrays may still be traced — the static-index gather keeps
+    gradients flowing to the original padded arrays).  Deterministic: the
+    forward kernel's primitive ids and the replay adjoint's tables stay
+    consistent because both call this."""
+    try:
         tv = np.asarray(scene.tri_valid)
         sv = np.asarray(scene.sph_valid)
-        if not tv.all() or not sv.all():
-            import jax as _jax
-            take_t = np.nonzero(tv)[0]
-            take_s = np.nonzero(sv)[0]
-            scene = scene.replace(
-                tri_v0=scene.tri_v0[take_t], tri_v1=scene.tri_v1[take_t],
-                tri_v2=scene.tri_v2[take_t], tri_mat=scene.tri_mat[take_t],
-                tri_checker=scene.tri_checker[take_t],
-                tri_group=scene.tri_group[take_t],
-                tri_valid=scene.tri_valid[take_t],
-                sph_center=scene.sph_center[take_s],
-                sph_radius=scene.sph_radius[take_s],
-                sph_mat=scene.sph_mat[take_s],
-                sph_group=scene.sph_group[take_s],
-                sph_valid=scene.sph_valid[take_s])
     except Exception:
-        pass  # traced scene: keep padding, valid flags mask it
+        return scene  # traced masks: keep padding, valid flags mask it
+    if tv.all() and sv.all():
+        return scene
+    take_t = np.nonzero(tv)[0]
+    take_s = np.nonzero(sv)[0]
+    return scene.replace(
+        tri_v0=scene.tri_v0[take_t], tri_v1=scene.tri_v1[take_t],
+        tri_v2=scene.tri_v2[take_t], tri_mat=scene.tri_mat[take_t],
+        tri_checker=scene.tri_checker[take_t],
+        tri_group=scene.tri_group[take_t],
+        tri_valid=scene.tri_valid[take_t],
+        sph_center=scene.sph_center[take_s],
+        sph_radius=scene.sph_radius[take_s],
+        sph_mat=scene.sph_mat[take_s],
+        sph_group=scene.sph_group[take_s],
+        sph_valid=scene.sph_valid[take_s])
+
+
+def pack_scene(scene: FlatScene) -> Dict[str, Any]:
+    """FlatScene -> SMEM scalar tables (the kernel's 'uniforms').
+    Padding primitives are compacted away when the masks are concrete."""
+    scene = compact_scene(scene)
     f32 = jnp.float32
     ns, nt, m, l = (scene.num_spheres, scene.num_triangles,
                     scene.num_materials, scene.num_lights)
@@ -126,10 +132,15 @@ def pack_scene(scene: FlatScene) -> Dict[str, Any]:
 
 
 def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
-                        vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref, *,
+                        vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
+                        *res_refs,
                         ns: int, nt: int, m: int, nl: int, depth: int,
                         small: float, atten: float,
-                        white_id: int, black_id: int):
+                        white_id: int, black_id: int,
+                        with_residuals: bool = False):
+    # res_refs (when with_residuals): bi_ref, mid_ref [depth+1, BH, BW] and
+    # one lit_ref [depth+1, BH, BW] per light — the fixed-topology residuals
+    # consumed by the replay adjoint (kernels/adjoint.py).
     shape = vx_ref.shape
     f32 = jnp.float32
 
@@ -255,6 +266,10 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         mid = jnp.where(is_chk,
                         jnp.where(parity_even, float(white_id), float(black_id)),
                         mid)
+        if with_residuals:
+            bi_res = jnp.where(hitm, bi, -1.0)
+            res_refs[0][_level] = bi_res
+            res_refs[1][_level] = mid
 
         # ---- material fields (mask-blend over the material table) ----
         def mat_attr(j, c):
@@ -307,6 +322,8 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             # (checker squares are opaque; the override never changes the
             # transparency-nonzero flag, so the occluder mat is enough)
             lit = jnp.logical_or(sd >= BIG, occ_transp > 0.5)
+            if with_residuals:
+                res_refs[2 + li][_level] = jnp.where(lit, 1.0, 0.0)
 
             d2 = svx * svx + svy * svy + svz * svz
             att = atten / (atten + d2)
@@ -378,33 +395,9 @@ def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
     pts = screen_points(camera, w, h)
 
     def one_sample(pts_s):
-        o, v = primary_rays(camera, pts_s)
-        vx = _pad_img(v[:, 0], h, w, block_h, block_w)
-        vy = _pad_img(v[:, 1], h, w, block_h, block_w)
-        vz = _pad_img(v[:, 2], h, w, block_h, block_w)
-        ph, pw = vx.shape
-        kernel = functools.partial(
-            _render_tile_kernel,
-            ns=packed["sph"].shape[0], nt=packed["tri"].shape[0],
-            m=scene.num_materials, nl=scene.num_lights,
-            depth=config.max_depth, small=config.small_number,
-            atten=config.attenuation_factor,
-            white_id=scene.checker_mats[0], black_id=scene.checker_mats[1])
-        grid = (ph // block_h, pw // block_w)
-        smem = lambda r: pl.BlockSpec(memory_space=pltpu.SMEM)
-        tile = pl.BlockSpec((block_h, block_w),
-                            lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[smem(None)] * 5 + [tile] * 3,
-            out_specs=[tile] * 3,
-            out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 3,
-            interpret=interpret,
-        )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
-          packed["misc"], vx, vy, vz)
-        img = jnp.stack([out[0][:h, :w], out[1][:h, :w], out[2][:h, :w]], -1)
+        img, _ = _call_kernel(packed, scene, camera, config, pts_s,
+                              block_h, block_w, interpret,
+                              with_residuals=False)
         return img
 
     use_jitter = config.samples > 1 or config.force_jitter
@@ -428,3 +421,75 @@ def _pad_img(flat, h, w, block_h, block_w):
     img = _pad_to(img, block_h, 0)
     img = _pad_to(img, block_w, 1)
     return img
+
+
+def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
+                 interpret, with_residuals):
+    """Invoke the tile kernel over the padded frame.  Returns (img,
+    residuals-or-None); residuals = dict(bi, mid [D+1,H,W], lit [L,D+1,H,W])."""
+    w, h = config.width, config.height
+    depth = config.max_depth
+    nl = scene.num_lights
+    o, v = primary_rays(camera, pts)
+    vx = _pad_img(v[:, 0], h, w, block_h, block_w)
+    vy = _pad_img(v[:, 1], h, w, block_h, block_w)
+    vz = _pad_img(v[:, 2], h, w, block_h, block_w)
+    ph, pw = vx.shape
+    kernel = functools.partial(
+        _render_tile_kernel,
+        ns=packed["sph"].shape[0], nt=packed["tri"].shape[0],
+        m=scene.num_materials, nl=nl,
+        depth=depth, small=config.small_number,
+        atten=config.attenuation_factor,
+        white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
+        with_residuals=with_residuals)
+    grid = (ph // block_h, pw // block_w)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    n_res = (2 + nl) if with_residuals else 0
+    res_tile = pl.BlockSpec((depth + 1, block_h, block_w),
+                            lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem] * 5 + [tile] * 3,
+        out_specs=[tile] * 3 + [res_tile] * n_res,
+        out_shape=([jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 3
+                   + [jax.ShapeDtypeStruct((depth + 1, ph, pw), jnp.float32)]
+                   * n_res),
+        interpret=interpret,
+    )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
+      packed["misc"], vx, vy, vz)
+    img = jnp.stack([out[0][:h, :w], out[1][:h, :w], out[2][:h, :w]], -1)
+    if not with_residuals:
+        return img, None
+    bi = out[3][:, :h, :w]
+    mid = out[4][:, :h, :w]
+    if nl:
+        lit = jnp.stack([out[5 + li][:, :h, :w] for li in range(nl)], 0)
+    else:
+        lit = jnp.zeros((0, depth + 1, h, w), jnp.float32)
+    return img, dict(bi=bi, mid=mid, lit=lit)
+
+
+def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig,
+                                  block_h: int = 32, block_w: int = 256,
+                                  interpret: bool = None):
+    """Single-sample forward returning (img, fixed-topology residuals) for
+    the replay adjoint (kernels/adjoint.py)."""
+    if not scene.chain_exact:
+        raise ValueError("Pallas kernel requires a chain-exact scene")
+    if config.samples != 1 or config.force_jitter:
+        raise ValueError("residual forward supports exactly one sample")
+    from ..config import CameraConfig
+    if isinstance(camera, CameraConfig):
+        camera = Camera.from_config(camera, config.width, config.height)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    packed = dict(pack_scene(scene))
+    packed["misc"] = packed["misc"].at[0:3].set(camera.eye.astype(jnp.float32))
+    pts = screen_points(camera, config.width, config.height)
+    return _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
+                        interpret, with_residuals=True)
