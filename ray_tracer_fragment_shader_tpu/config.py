@@ -108,6 +108,13 @@ class RenderConfig:
     force_jitter: bool = False
     seed: int = 0
     mode: str = "auto"
+    #: Emulate the reference's adaptive supersampler semantics
+    #: (MySdlApplication.cpp:1294-1311): samples stop counting once the
+    #: weighted running average converges, and the final divisor is the
+    #: loop variable at exit (the reference's /k quirk, sum of k+1 samples
+    #: divided by k).  Same outputs, SPMD-friendly (all samples computed,
+    #: convergence applied as a mask).
+    adaptive: bool = False
     #: Replicate the reference's hierarchical bounding-sphere prune
     #: (Shape::intersection, MySdlApplication.cpp:747-758).  For well-formed
     #: scenes (all geometry inside its bounding sphere) this only rejects rays

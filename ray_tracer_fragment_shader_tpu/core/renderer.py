@@ -168,15 +168,44 @@ def render_pixels(scene: FlatScene, camera: Camera, width: int, height: int,
 
     if key is None:
         key = jax.random.PRNGKey(config.seed)
-
-    def one_sample(carry, k):
-        jit = sample_jitter(k, P, config.jitter_scale, dtype=pts.dtype)
-        o, v = primary_rays(camera, pts, jitter=jit)
-        return carry + traced(o, v), None
-
     keys = jax.random.split(key, config.samples)
-    total, _ = jax.lax.scan(one_sample, jnp.zeros_like(pts), keys)
-    return total / config.samples
+
+    if not config.adaptive:
+        def one_sample(carry, k):
+            jit = sample_jitter(k, P, config.jitter_scale, dtype=pts.dtype)
+            o, v = primary_rays(camera, pts, jitter=jit)
+            return carry + traced(o, v), None
+
+        total, _ = jax.lax.scan(one_sample, jnp.zeros_like(pts), keys)
+        return total / config.samples
+
+    # Adaptive supersampler emulation (MySdlApplication.cpp:1294-1311):
+    # sample k joins the sum while the pixel is unconverged; convergence
+    # tests |k*avg_after - (k+1)*avg_before| < SMALL*k*(k+1); the divisor is
+    # the loop variable at exit (the reference divides the k+1 accumulated
+    # samples by k when it breaks early).  All samples are computed (SPMD);
+    # convergence only masks accumulation.
+    small = config.small_number
+
+    def adaptive_sample(carry, inp):
+        accum, divisor, done = carry
+        k, key_k = inp
+        jit = sample_jitter(key_k, P, config.jitter_scale, dtype=pts.dtype)
+        o, v = primary_rays(camera, pts, jitter=jit)
+        c = traced(o, v)
+        accum_after = jnp.where(done[:, None], accum, accum + c)
+        diff = norm3(k * accum_after - (k + 1.0) * accum)
+        newly_done = jnp.logical_and(~done, diff < small * k * (k + 1.0))
+        divisor = jnp.where(newly_done, k, divisor)
+        done = jnp.logical_or(done, newly_done)
+        return (accum_after, divisor, done), None
+
+    ks = jnp.arange(config.samples, dtype=pts.dtype)
+    init = (jnp.zeros_like(pts), jnp.full((P,), float(config.samples),
+                                          pts.dtype),
+            jnp.zeros((P,), bool))
+    (accum, divisor, _), _ = jax.lax.scan(adaptive_sample, init, (ks, keys))
+    return accum / divisor[:, None]
 
 
 def render_image(scene: FlatScene, camera, config: RenderConfig,

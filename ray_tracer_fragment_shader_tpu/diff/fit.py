@@ -50,6 +50,19 @@ class FitParams:
             mat_specular=self.mat_specular, mat_ambient=self.mat_ambient)
 
 
+def default_fit_optimizer(geom_lr: float = 0.5, light_lr: float = 1.0,
+                          mat_lr: float = 0.01) -> optax.GradientTransformation:
+    """Adam with per-group learning rates matched to parameter scales:
+    world-space geometry (~1e2 units) vs material colors (~1e-1).  A single
+    global Adam rate either stalls the geometry or blows up the materials."""
+    labels = FitParams(sph_center="geom", sph_radius="geom",
+                       light_pos="light", mat_diffuse="mat",
+                       mat_specular="mat", mat_ambient="mat")
+    return optax.multi_transform(
+        {"geom": optax.adam(geom_lr), "light": optax.adam(light_lr),
+         "mat": optax.adam(mat_lr)}, labels)
+
+
 def l2_loss(params: FitParams, scene: FlatScene, camera: Camera,
             config: RenderConfig, target) -> jnp.ndarray:
     img = render_image(params.into_scene(scene), camera, config)
@@ -114,7 +127,8 @@ def fit(scene: FlatScene, camera: Camera, config: RenderConfig, target,
         optimizer: Optional[optax.GradientTransformation] = None,
         log_every: int = 0) -> Tuple[FitParams, list]:
     """Adam-fit the scene to a target image; returns (params, loss history)."""
-    optimizer = optax.adam(learning_rate) if optimizer is None else optimizer
+    if optimizer is None:
+        optimizer = default_fit_optimizer(geom_lr=learning_rate)
     params = FitParams.from_scene(scene) if params is None else params
     opt_state = optimizer.init(params)
     step = make_fit_step(scene, camera, config, target, optimizer)
