@@ -55,15 +55,23 @@ def _next_branch(hit, small: float):
 
 
 def render_rays_chain(scene: FlatScene, o, v, *, max_depth: int,
-                      small: float, attenuation_factor: float, prune: bool):
-    """Iterative single-path bounce loop; [P,3] color."""
+                      small: float, attenuation_factor: float, prune: bool,
+                      exclude0=None):
+    """Iterative single-path bounce loop; [P,3] color.
+
+    ``exclude0``: optional [P] primitive ids excluded from the *primary*
+    intersection (used by the soft-silhouette renderer to compute the
+    behind-a-sphere background)."""
     dtype = o.dtype
     # carries derived from the ray inputs so their sharding/varying types
     # match the scan body outputs under shard_map
     color0 = jnp.zeros_like(o)
     thr0 = jnp.zeros_like(o) + 1.0
     alive0 = jnp.zeros_like(o[:, 0]) == 0.0
-    excl0 = jnp.zeros_like(o[:, 0], dtype=jnp.int32) - 1
+    if exclude0 is None:
+        excl0 = jnp.zeros_like(o[:, 0], dtype=jnp.int32) - 1
+    else:
+        excl0 = exclude0.astype(jnp.int32)
 
     def level(carry, _):
         o, v, excl, thr, alive, color = carry
