@@ -39,12 +39,16 @@ def main() -> None:
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     forward_only = os.environ.get("BENCH_FORWARD_ONLY", "0") == "1"
-    # backend: the fused Pallas kernel + replay adjoint (default) or XLA
+    # backend: the fused Pallas kernels (default) or XLA
     backend = os.environ.get("BENCH_BACKEND", "pallas")
+    # adjoint: fully-in-kernel backward (default) or the XLA replay
+    adjoint = os.environ.get("BENCH_ADJOINT", "fused")
 
     from ray_tracer_fragment_shader_tpu.core.renderer import render_image
     from ray_tracer_fragment_shader_tpu.diff.fit import FitParams, l2_loss
     from ray_tracer_fragment_shader_tpu.kernels.adjoint import l2_loss_pallas
+    from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
+        fit_value_and_grad)
     from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
         render_image_pallas)
     from ray_tracer_fragment_shader_tpu.ops.rays import Camera
@@ -72,8 +76,11 @@ def main() -> None:
             img = render_fwd(scene, cam2, config)
             return accum + jnp.mean(img), None
         p = params0.replace(sph_center=params0.sph_center + eps)
-        loss, grads = jax.value_and_grad(loss_fn)(p, scene, camera, config,
-                                                  target)
+        if backend == "pallas" and adjoint == "fused":
+            loss, grads = fit_value_and_grad(p, scene, camera, config, target)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(p, scene, camera,
+                                                      config, target)
         return accum + loss + jnp.mean(grads.sph_radius), None
 
     @jax.jit

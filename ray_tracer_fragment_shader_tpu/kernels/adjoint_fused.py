@@ -1,0 +1,405 @@
+"""Fully in-kernel backward pass: the replay adjoint as a fused Pallas kernel.
+
+``kernels/adjoint.py`` pins the discrete hit topology with per-level residuals
+and re-derives the radiance as a small differentiable function — but it runs
+that replay (and its VJP) as an XLA program over the whole image, which
+materializes [P, N] one-hot selection masks in HBM and roughly matches the
+forward kernel's cost.  This module moves the entire backward into one Pallas
+kernel: each grid step replays the bounce chain for a (BH, BW) pixel tile in
+VMEM, differentiates it on the spot (``jax.vjp`` *inside* the kernel — the
+traced adjoint is ordinary VPU arithmetic), and accumulates the per-tile
+parameter gradients into small VMEM tables across the sequential TPU grid.
+No [P, N] buffer ever exists; HBM traffic is just the residuals + cotangent.
+
+Scope: gradients w.r.t. the differentiable-fit parameter set (``FitParams``:
+sphere centers/radii, light positions, material ambient/diffuse/specular) —
+the BASELINE config-4 workload.  For gradients w.r.t. other leaves (camera,
+triangle vertices) use the XLA replay (``kernels/adjoint.py``), which remains
+the general path.
+
+Like the replay, gradients are defined through fixed hit topology
+(SURVEY.md §7 "Hard parts": hit/miss, checker parity and shadow edges carry
+no gradient) — the convention the reference's semantics imply for its
+branch-heavy shading (Hw4/MySdlApplication.cpp:1184-1249).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..diff.fit import FitParams
+from ..ops.rays import Camera, primary_rays, screen_points
+from ..scene.flat import FlatScene
+from ..utils.jmath import safe_div, safe_sqrt
+from .render_pallas import (_pad_img, compact_scene, pack_scene,
+                            render_forward_with_residuals)
+
+# Diff-table layouts (rows = entity, cols = packed fields)
+SPHD_COLS = 8    # cx cy cz r - - - -
+MATD_COLS = 16   # amb(3) dif(3) spe(3) - - - - - - -
+LIGHTD_COLS = 8  # pos(3) - - - - -
+
+
+def _pack_diff_tables(scene: FlatScene):
+    """The differentiable parameter tables (VMEM inputs of the backward
+    kernel).  Scene must already be compacted."""
+    f32 = jnp.float32
+    ns, m, nl = scene.num_spheres, scene.num_materials, scene.num_lights
+    sphd = jnp.zeros((max(ns, 1), SPHD_COLS), f32)
+    sphd = sphd.at[:ns, 0:3].set(scene.sph_center.astype(f32))
+    sphd = sphd.at[:ns, 3].set(scene.sph_radius.astype(f32))
+    matd = jnp.zeros((max(m, 1), MATD_COLS), f32)
+    matd = matd.at[:m, 0:3].set(scene.mat_ambient.astype(f32))
+    matd = matd.at[:m, 3:6].set(scene.mat_diffuse.astype(f32))
+    matd = matd.at[:m, 6:9].set(scene.mat_specular.astype(f32))
+    lightd = jnp.zeros((max(nl, 1), LIGHTD_COLS), f32)
+    lightd = lightd.at[:nl, 0:3].set(scene.light_pos.astype(f32))
+    return sphd, matd, lightd
+
+
+def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                     sphd_ref, matd_ref, lightd_ref,
+                     vx_ref, vy_ref, vz_ref, bi_ref, mid_ref, lit_ref,
+                     gr_ref, gg_ref, gb_ref,
+                     dsph_ref, dmat_ref, dlight_ref,
+                     *, ns: int, nt: int, m: int, nl: int, depth: int,
+                     atten: float):
+    shape = vx_ref.shape
+    f32 = jnp.float32
+
+    def full(x):
+        return jnp.full(shape, x, f32)
+
+    eye = (misc_ref[0], misc_ref[1], misc_ref[2])
+
+    # ---- per-level constants (fixed topology; no gradients flow here) ----
+    # Selected via SMEM fori_loop mask-blends exactly like the forward kernel,
+    # *outside* the differentiated closure so the VJP graph stays lean.
+    consts = []
+    for lv in range(depth + 1):
+        bik = bi_ref[lv]
+        midl = mid_ref[lv]
+        hitm = bik >= 0.0
+        is_tri = bik < float(nt)
+
+        def tri_attr(i, c):
+            sel = bik == i.astype(f32)
+            return (jnp.where(sel, tri_ref[i, 3], c[0]),
+                    jnp.where(sel, tri_ref[i, 4], c[1]),
+                    jnp.where(sel, tri_ref[i, 5], c[2]),
+                    jnp.where(sel, tri_ref[i, 16], c[3]))
+
+        tnx, tny, tnz, tnv0 = jax.lax.fori_loop(
+            0, nt, tri_attr, (full(0.0),) * 4)
+
+        def mat_attr(j, c):
+            sel = midl == j.astype(f32)
+            return (jnp.where(sel, mat_ref[j, 9], c[0]),
+                    jnp.where(sel, mat_ref[j, 10], c[1]),
+                    jnp.where(sel, mat_ref[j, 11], c[2]),
+                    jnp.where(sel, mat_ref[j, 12], c[3]),
+                    jnp.where(sel, mat_ref[j, 15], c[4]))
+
+        trn_r, trn_g, trn_b, rho, t_any = jax.lax.fori_loop(
+            0, m, mat_attr, (full(0.0),) * 5)
+        take_t = t_any > 0.5
+        lits = [lit_ref[li * (depth + 1) + lv] > 0.5 for li in range(nl)]
+        consts.append(dict(bik=bik, midl=midl, hitm=hitm, is_tri=is_tri,
+                           tn=(tnx, tny, tnz), tnv0=tnv0,
+                           trn=(trn_r, trn_g, trn_b), rho=rho,
+                           take_t=take_t, lits=lits))
+
+    # Throughput chain: depends only on transparency (not a fit param), so it
+    # is a per-level constant (MySdlApplication.cpp:1238-1246 weights).
+    thr = [(full(1.0), full(1.0), full(1.0))]
+    for lv in range(depth):
+        c = consts[lv]
+        tr, tg, tb = thr[-1]
+        wr = jnp.where(c["take_t"], c["trn"][0], 1.0 - c["trn"][0])
+        wg = jnp.where(c["take_t"], c["trn"][1], 1.0 - c["trn"][1])
+        wb = jnp.where(c["take_t"], c["trn"][2], 1.0 - c["trn"][2])
+        one = full(1.0)
+        thr.append((tr * jnp.where(c["hitm"], wr, one),
+                    tg * jnp.where(c["hitm"], wg, one),
+                    tb * jnp.where(c["hitm"], wb, one)))
+
+    # Light colors (constant scalars from SMEM).
+    lcol = [(light_ref[li, 3], light_ref[li, 4], light_ref[li, 5])
+            for li in range(nl)]
+
+    # Per-level sphere/material selection masks (constants).
+    sph_sel = [[consts[lv]["bik"] == float(nt + i) for i in range(ns)]
+               for lv in range(depth + 1)]
+    mat_sel = [[consts[lv]["midl"] == float(j) for j in range(m)]
+               for lv in range(depth + 1)]
+
+    vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
+
+    def replay(sphd, matd, lightd):
+        """Pinned-topology radiance for this tile (mirrors
+        kernels/adjoint.py::replay_render, component-array form)."""
+        ox, oy, oz = full(eye[0]), full(eye[1]), full(eye[2])
+        vx, vy, vz = vx0, vy0, vz0
+        col = [full(0.0), full(0.0), full(0.0)]
+        for lv in range(depth + 1):
+            c = consts[lv]
+            hitm, is_tri = c["hitm"], c["is_tri"]
+            vlen2 = vx * vx + vy * vy + vz * vz
+            ray_ok = vlen2 > 0.0
+            vlen = safe_sqrt(vlen2, ray_ok)
+            inv_vlen = safe_div(full(1.0), vlen, ray_ok)
+            ux, uy, uz = vx * inv_vlen, vy * inv_vlen, vz * inv_vlen
+
+            # triangle plane distance (normal & plane offset are constants)
+            tnx, tny, tnz = c["tn"]
+            ndv = tnx * vx + tny * vy + tnz * vz
+            ndo = tnx * ox + tny * oy + tnz * oz
+            m_par = safe_div(c["tnv0"] - ndo, ndv, jnp.abs(ndv) > 0.0)
+            dist_tri = m_par * vlen
+
+            # sphere hit (differentiable in center/radius)
+            cx, cy, cz, rr = full(0.0), full(0.0), full(0.0), full(0.0)
+            for i in range(ns):
+                sel = sph_sel[lv][i]
+                cx = jnp.where(sel, sphd[i, 0], cx)
+                cy = jnp.where(sel, sphd[i, 1], cy)
+                cz = jnp.where(sel, sphd[i, 2], cz)
+                rr = jnp.where(sel, sphd[i, 3], rr)
+            dx, dy, dz = cx - ox, cy - oy, cz - oz
+            ud = ux * dx + uy * dy + uz * dz
+            disc = ud * ud - (dx * dx + dy * dy + dz * dz) + rr * rr
+            dist_sph = ud - safe_sqrt(disc, disc > 0.0)
+
+            bd = jnp.where(is_tri, dist_tri, dist_sph)
+            bd = jnp.where(hitm, bd, 0.0)
+            px, py, pz = ox + bd * ux, oy + bd * uy, oz + bd * uz
+
+            d0x, d0y, d0z = px - cx, py - cy, pz - cz
+            d0sq = d0x * d0x + d0y * d0y + d0z * d0z
+            inv_d0 = safe_div(full(1.0), safe_sqrt(d0sq, d0sq > 0.0),
+                              d0sq > 0.0)
+            nx = jnp.where(is_tri, tnx, d0x * inv_d0)
+            ny = jnp.where(is_tri, tny, d0y * inv_d0)
+            nz = jnp.where(is_tri, tnz, d0z * inv_d0)
+            nx = jnp.where(hitm, nx, 0.0)
+            ny = jnp.where(hitm, ny, 0.0)
+            nz = jnp.where(hitm, nz, 0.0)
+
+            # material colors (differentiable)
+            fields = [full(0.0) for _ in range(9)]
+            for j in range(m):
+                sel = mat_sel[lv][j]
+                for k in range(9):
+                    fields[k] = jnp.where(sel, matd[j, k], fields[k])
+            amb = fields[0:3]
+            dif = fields[3:6]
+            spe = fields[6:9]
+
+            cosi = ux * nx + uy * ny + uz * nz
+            rx = ux - 2.0 * cosi * nx
+            ry = uy - 2.0 * cosi * ny
+            rz = uz - 2.0 * cosi * nz
+
+            tr, tg, tb = thr[lv]
+            for li in range(nl):
+                svx = lightd[li, 0] - px
+                svy = lightd[li, 1] - py
+                svz = lightd[li, 2] - pz
+                d2 = svx * svx + svy * svy + svz * svz
+                att = atten / (atten + d2)
+                inv_sl = safe_div(full(1.0), safe_sqrt(d2, d2 > 0.0),
+                                  d2 > 0.0)
+                ndots = jnp.abs(nx * svx + ny * svy + nz * svz) * inv_sl
+                udotr = jnp.abs(ux * rx + uy * ry + uz * rz)
+                wgt = jnp.where(jnp.logical_and(c["lits"][li], hitm),
+                                att, 0.0)
+                lr, lg, lb = lcol[li]
+                col[0] += tr * wgt * (amb[0] + ndots * dif[0]
+                                      + udotr * spe[0]) * lr
+                col[1] += tg * wgt * (amb[1] + ndots * dif[1]
+                                      + udotr * spe[1]) * lg
+                col[2] += tb * wgt * (amb[2] + ndots * dif[2]
+                                      + udotr * spe[2]) * lb
+
+            if lv < depth:
+                rho = c["rho"]
+                modulus = 1.0 - rho * rho * (1.0 - cosi * cosi)
+                mod_ok = modulus > 0.0
+                cosr = safe_sqrt(modulus, mod_ok)
+                coef = cosr + rho * cosi
+                mod_f = jnp.where(mod_ok, 1.0, 0.0)
+                tx = (rho * ux - coef * nx) * mod_f
+                ty = (rho * uy - coef * ny) * mod_f
+                tz = (rho * uz - coef * nz) * mod_f
+                take_t = c["take_t"]
+                nvx = jnp.where(take_t, tx, rx)
+                nvy = jnp.where(take_t, ty, ry)
+                nvz = jnp.where(take_t, tz, rz)
+                vx = jnp.where(hitm, nvx, 0.0)
+                vy = jnp.where(hitm, nvy, 0.0)
+                vz = jnp.where(hitm, nvz, 0.0)
+                ox, oy, oz = px, py, pz
+        return col[0], col[1], col[2]
+
+    _, vjp_fn = jax.vjp(replay, sphd_ref[...], matd_ref[...], lightd_ref[...])
+    dsph, dmat, dlight = vjp_fn((gr_ref[:], gg_ref[:], gb_ref[:]))
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dsph_ref[...] = dsph
+        dmat_ref[...] = dmat
+        dlight_ref[...] = dlight
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dsph_ref[...] += dsph
+        dmat_ref[...] += dmat
+        dlight_ref[...] += dlight
+
+
+def _pad_tile3(x, h, w, block_h, block_w, fill):
+    """[K,H,W] -> [K, padded H, padded W] with a chosen fill value."""
+    ph = (-h) % block_h
+    pw = (-w) % block_w
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw)), constant_values=fill)
+    return x
+
+
+def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
+                     residuals: Dict[str, Any], g,
+                     block_h: int = 32, block_w: int = 256,
+                     interpret: bool = None) -> Dict[str, Any]:
+    """Run the backward kernel; returns gradient tables for the *compacted*
+    scene: dict(sph_center [ns,3], sph_radius [ns], light_pos [nl,3],
+    mat_ambient/diffuse/specular [m,3])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scene = compact_scene(scene)
+    ns, nt = scene.num_spheres, scene.num_triangles
+    m, nl = scene.num_materials, scene.num_lights
+    w, h = config.width, config.height
+    depth = config.max_depth
+
+    packed = pack_scene(scene)
+    packed["misc"] = packed["misc"].at[0:3].set(
+        camera.eye.astype(jnp.float32))
+    sphd, matd, lightd = _pack_diff_tables(scene)
+
+    pts = screen_points(camera, w, h)
+    _, v = primary_rays(camera, pts)
+    vx = _pad_img(v[:, 0], h, w, block_h, block_w)
+    vy = _pad_img(v[:, 1], h, w, block_h, block_w)
+    vz = _pad_img(v[:, 2], h, w, block_h, block_w)
+    ph, pw = vx.shape
+
+    bi = _pad_tile3(residuals["bi"], h, w, block_h, block_w, -1.0)
+    mid = _pad_tile3(residuals["mid"], h, w, block_h, block_w, 0.0)
+    lit = residuals["lit"].reshape(nl * (depth + 1), h, w)
+    lit = _pad_tile3(lit, h, w, block_h, block_w, 0.0)
+
+    g = jnp.asarray(g, jnp.float32)
+    gr = _pad_img(g[..., 0].reshape(-1), h, w, block_h, block_w)
+    gg = _pad_img(g[..., 1].reshape(-1), h, w, block_h, block_w)
+    gb = _pad_img(g[..., 2].reshape(-1), h, w, block_h, block_w)
+
+    # nt must be the *packed* triangle row count — the forward kernel offsets
+    # sphere ids by it when emitting the bi residual.
+    kernel = functools.partial(_bwd_tile_kernel, ns=ns,
+                               nt=packed["tri"].shape[0], m=m, nl=nl,
+                               depth=depth,
+                               atten=config.attenuation_factor)
+    grid = (ph // block_h, pw // block_w)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    res_tile = pl.BlockSpec((depth + 1, block_h, block_w),
+                            lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    lit_tile = pl.BlockSpec((max(nl, 1) * (depth + 1), block_h, block_w),
+                            lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((max(ns, 1), SPHD_COLS), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    acc_m = pl.BlockSpec((max(m, 1), MATD_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_l = pl.BlockSpec((max(nl, 1), LIGHTD_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    if nl == 0:
+        lit = jnp.zeros((depth + 1, ph, pw), jnp.float32)
+
+    dsph, dmat, dlight = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem] * 5 + [vfull] * 3 + [tile] * 3
+                 + [res_tile] * 2 + [lit_tile] + [tile] * 3,
+        out_specs=[acc, acc_m, acc_l],
+        out_shape=[jax.ShapeDtypeStruct((max(ns, 1), SPHD_COLS), jnp.float32),
+                   jax.ShapeDtypeStruct((max(m, 1), MATD_COLS), jnp.float32),
+                   jax.ShapeDtypeStruct((max(nl, 1), LIGHTD_COLS),
+                                        jnp.float32)],
+        interpret=interpret,
+    )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
+      packed["misc"], sphd, matd, lightd, vx, vy, vz, bi, mid, lit,
+      gr, gg, gb)
+
+    return dict(sph_center=dsph[:ns, 0:3], sph_radius=dsph[:ns, 3],
+                mat_ambient=dmat[:m, 0:3], mat_diffuse=dmat[:m, 3:6],
+                mat_specular=dmat[:m, 6:9], light_pos=dlight[:nl, 0:3])
+
+
+def _sphere_take(scene: FlatScene):
+    """Indices of compacted sphere rows in the original arrays (None when the
+    masks are traced and no compaction happened)."""
+    try:
+        sv = np.asarray(scene.sph_valid)
+        tv = np.asarray(scene.tri_valid)
+    except Exception:
+        return None
+    if sv.all() and tv.all():
+        return None
+    return np.nonzero(sv)[0]
+
+
+def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
+                       config: RenderConfig, target,
+                       block_h: int = 32, block_w: int = 256,
+                       interpret: bool = None):
+    """(loss, d loss/d params) of the L2 photometric loss with the Pallas
+    forward and the fused in-kernel backward — the fast path for the
+    BASELINE config-4 fit and the fwd+bwd benchmark.
+
+    Equivalent to ``jax.value_and_grad(l2_loss_pallas)`` (kernels/adjoint.py)
+    restricted to the ``FitParams`` leaves; scene/camera are constants."""
+    scene_full = params.into_scene(scene)
+    img, res = render_forward_with_residuals(scene_full, camera, config,
+                                             interpret=interpret)
+    diff = img - target
+    loss = jnp.mean(diff * diff)
+    g = (2.0 / diff.size) * diff
+    grads_c = fit_grads_pallas(scene_full, camera, config, res, g,
+                               block_h=block_h, block_w=block_w,
+                               interpret=interpret)
+    take = _sphere_take(scene_full)
+    if take is None:
+        d_center = grads_c["sph_center"]
+        d_radius = grads_c["sph_radius"]
+    else:
+        d_center = jnp.zeros_like(params.sph_center).at[take].set(
+            grads_c["sph_center"])
+        d_radius = jnp.zeros_like(params.sph_radius).at[take].set(
+            grads_c["sph_radius"])
+    grads = FitParams(sph_center=d_center, sph_radius=d_radius,
+                      light_pos=grads_c["light_pos"],
+                      mat_diffuse=grads_c["mat_diffuse"],
+                      mat_specular=grads_c["mat_specular"],
+                      mat_ambient=grads_c["mat_ambient"])
+    return loss, grads
