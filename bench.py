@@ -69,11 +69,18 @@ def main() -> None:
                   else render_image)
     loss_fn = l2_loss_pallas if backend == "pallas" else l2_loss
 
+    bh = int(os.environ.get("BENCH_BLOCK_H", "32"))
+    bw = int(os.environ.get("BENCH_BLOCK_W", "256"))
+
     def one_iter(accum, eps):
         if forward_only:
             # perturb the camera so the (concrete) scene stays compactable
             cam2 = camera.replace(eye=camera.eye + eps)
-            img = render_fwd(scene, cam2, config)
+            if backend == "pallas":
+                img = render_image_pallas(scene, cam2, config,
+                                          block_h=bh, block_w=bw)
+            else:
+                img = render_fwd(scene, cam2, config)
             return accum + jnp.mean(img), None
         p = params0.replace(sph_center=params0.sph_center + eps)
         if backend == "pallas" and adjoint == "fused":

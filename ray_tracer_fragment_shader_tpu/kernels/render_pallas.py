@@ -38,8 +38,8 @@ from ..scene.flat import FlatScene, tri_derived
 BIG = 3.0e38
 
 # SMEM table layouts (one row per primitive/material/light)
-SPH_COLS = 8    # cx cy cz r mat valid - -
-TRI_COLS = 24   # v0(3) n(3) u(3) v(3) uv uu vv denom ndotv0 mat checker degenerate+valid(=ok) - -
+SPH_COLS = 8    # cx cy cz r mat valid transp_any -
+TRI_COLS = 24   # v0(3) n(3) u(3) v(3) uv uu vv denom ndotv0 mat checker degenerate+valid(=ok) transp_any - -
 MAT_COLS = 20   # amb(3) dif(3) spe(3) trn(3) rho take_trans refl_ok transp_any - - -
 LIGHT_COLS = 8  # pos(3) color(3) - -
 MISC_COLS = 16  # eye(3) board_pos(3) board_half board_square - -
@@ -81,11 +81,18 @@ def pack_scene(scene: FlatScene) -> Dict[str, Any]:
     ns, nt, m, l = (scene.num_spheres, scene.num_triangles,
                     scene.num_materials, scene.num_lights)
 
+    # per-material "any transparency" flag, denormalized onto each primitive
+    # so the shadow sweep can carry the occluder's transparency directly
+    # (shadow test semantics: MySdlApplication.cpp:1221)
+    t_any_mat = jnp.any(scene.mat_transparency.astype(f32) != 0.0, -1
+                        ).astype(f32)
+
     sph = jnp.zeros((max(ns, 1), SPH_COLS), f32)
     sph = sph.at[:ns, 0:3].set(scene.sph_center.astype(f32))
     sph = sph.at[:ns, 3].set(scene.sph_radius.astype(f32))
     sph = sph.at[:ns, 4].set(scene.sph_mat.astype(f32))
     sph = sph.at[:ns, 5].set(scene.sph_valid.astype(f32))
+    sph = sph.at[:ns, 6].set(t_any_mat[scene.sph_mat])
 
     der = tri_derived(scene.tri_v0.astype(f32), scene.tri_v1.astype(f32),
                       scene.tri_v2.astype(f32))
@@ -103,6 +110,9 @@ def pack_scene(scene: FlatScene) -> Dict[str, Any]:
     tri = tri.at[:nt, 18].set(scene.tri_checker.astype(f32))
     ok = jnp.logical_and(scene.tri_valid, ~der["degenerate"]).astype(f32)
     tri = tri.at[:nt, 19].set(ok)
+    # checker squares are both opaque, so the material row's flag is correct
+    # for checker-overridden triangles too
+    tri = tri.at[:nt, 20].set(t_any_mat[scene.tri_mat])
 
     small = 1e-4  # |T| > SMALL check of the transmit gate (:1238)
     T = scene.mat_transparency.astype(f32)
@@ -137,7 +147,8 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                         ns: int, nt: int, m: int, nl: int, depth: int,
                         small: float, atten: float,
                         white_id: int, black_id: int,
-                        with_residuals: bool = False):
+                        with_residuals: bool = False,
+                        fast_recip: bool = True):
     # res_refs (when with_residuals): bi_ref, mid_ref [depth+1, BH, BW] and
     # one lit_ref [depth+1, BH, BW] per light — the fixed-topology residuals
     # consumed by the replay adjoint (kernels/adjoint.py).
@@ -151,9 +162,22 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     board_x, board_z = misc_ref[3], misc_ref[5]
     board_half, board_sq = misc_ref[6], misc_ref[7]
 
-    def intersect_all(ox, oy, oz, vx, vy, vz, excl, ray_ok):
+    def _recip(den):
+        """den is pre-guarded nonzero.  Mosaic's f32 divide is multi-slot;
+        the HW reciprocal + one Newton step is ~1-ulp and much cheaper."""
+        if not fast_recip:
+            return 1.0 / den
+        r = pl.reciprocal(den, approx=True)
+        return r * (2.0 - den * r)
+
+    def intersect_all(ox, oy, oz, vx, vy, vz, excl, ray_ok,
+                      carry_transp=False):
         """Closest hit over all primitives (triangles first: insertion-order
-        tie-breaking like Shape::intersection's strict <)."""
+        tie-breaking like Shape::intersection's strict <).
+
+        ``carry_transp``: carry the winner's material transparency-nonzero
+        flag instead of its primitive id (shadow queries need only that,
+        MySdlApplication.cpp:1221 — saves the post-sweep attribute loops)."""
         vlen2 = vx * vx + vy * vy + vz * vz
         ok = jnp.logical_and(ray_ok, vlen2 > 0.0)
         inv_vlen = jax.lax.rsqrt(jnp.where(ok, vlen2, 1.0))
@@ -166,7 +190,7 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             ndv = nx * vx + ny * vy + nz * vz
             plane_ok = jnp.abs(ndv) >= small
             ndo = nx * ox + ny * oy + nz * oz
-            mm = (tri_ref[i, 16] - ndo) / jnp.where(plane_ok, ndv, 1.0)
+            mm = (tri_ref[i, 16] - ndo) * _recip(jnp.where(plane_ok, ndv, 1.0))
             # barycentric via precomputed edge dots
             px = ox + mm * vx - tri_ref[i, 0]
             py = oy + mm * vy - tri_ref[i, 1]
@@ -183,7 +207,8 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                    & (tri_ref[i, 19] > 0.5))
             dist = jnp.where(hit, mm * vlen, BIG)
             upd = dist < bd
-            return jnp.where(upd, dist, bd), jnp.where(upd, i_f, bi)
+            win = tri_ref[i, 20] if carry_transp else i_f
+            return jnp.where(upd, dist, bd), jnp.where(upd, win, bi)
 
         def sph_body(i, carry):
             bd, bi = carry
@@ -200,7 +225,8 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                    & (sph_ref[i, 5] > 0.5))
             dist = jnp.where(hit, s, BIG)
             upd = dist < bd
-            return jnp.where(upd, dist, bd), jnp.where(upd, i_f, bi)
+            win = sph_ref[i, 6] if carry_transp else i_f
+            return jnp.where(upd, dist, bd), jnp.where(upd, win, bi)
 
         bd, bi = jax.lax.fori_loop(0, nt, tri_body, (full(BIG), full(-1.0)))
         bd, bi = jax.lax.fori_loop(0, ns, sph_body, (bd, bi))
@@ -304,23 +330,11 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             lx, ly, lz = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
             lr, lg, lb = light_ref[li, 3], light_ref[li, 4], light_ref[li, 5]
             svx, svy, svz = lx - px, ly - py, lz - pz
-            sd, si, _sux, _suy, _suz, _svlen = intersect_all(
-                px, py, pz, svx, svy, svz, bi, hitm)
-            # nearest occluder's "any transparency" flag via its material
-            def occ_tattr(i, c):
-                sel = si == i.astype(f32)
-                return jnp.where(sel, tri_ref[i, 17], c)
-            def occ_sattr(i, c):
-                sel = si == (i + nt).astype(f32)
-                return jnp.where(sel, sph_ref[i, 4], c)
-            omid = jax.lax.fori_loop(0, nt, occ_tattr, full(0.0))
-            omid = jax.lax.fori_loop(0, ns, occ_sattr, omid)
-            def occ_mat(j, c):
-                sel = omid == j.astype(f32)
-                return jnp.where(sel, mat_ref[j, 15], c)
-            occ_transp = jax.lax.fori_loop(0, m, occ_mat, full(0.0))
-            # (checker squares are opaque; the override never changes the
-            # transparency-nonzero flag, so the occluder mat is enough)
+            # the sweep carries the nearest occluder's transparency flag
+            # directly (checker squares are opaque; the override never
+            # changes the transparency-nonzero flag)
+            sd, occ_transp, _sux, _suy, _suz, _svlen = intersect_all(
+                px, py, pz, svx, svy, svz, bi, hitm, carry_transp=True)
             lit = jnp.logical_or(sd >= BIG, occ_transp > 0.5)
             if with_residuals:
                 res_refs[2 + li][_level] = jnp.where(lit, 1.0, 0.0)
@@ -442,7 +456,9 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
         depth=depth, small=config.small_number,
         atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
-        with_residuals=with_residuals)
+        with_residuals=with_residuals,
+        # pl.reciprocal is TPU-only; interpret mode uses the exact divide
+        fast_recip=not interpret)
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
