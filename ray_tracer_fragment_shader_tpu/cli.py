@@ -154,14 +154,38 @@ def cmd_fit(args):
 
     init = FitParams.from_scene(scene)
     rng = np.random.RandomState(args.seed)
+    nv = int(np.asarray(scene.sph_valid).sum())
+    dc = np.zeros((scene.num_spheres, 3), np.float32)
+    dc[:nv] = rng.uniform(-8, 8, (nv, 3))
     init = init.replace(
-        sph_center=init.sph_center + rng.uniform(-8, 8, (scene.num_spheres, 3)).astype(np.float32),
+        sph_center=init.sph_center + dc,
         sph_radius=init.sph_radius * (1 + rng.uniform(-0.15, 0.15, scene.num_spheres)).astype(np.float32),
         light_pos=init.light_pos + rng.uniform(-20, 20, (scene.num_lights, 3)).astype(np.float32))
 
-    params, history = fit(scene, camera, cfg, target, steps=args.steps,
-                          learning_rate=args.lr, params=init,
-                          log_every=max(args.steps // 10, 1))
+    if args.views > 1:
+        # robust config-4 recipe: orbit views + multiscale + soft-silhouette
+        # annealing + restarts (diff/multiview.py)
+        from .diff.multiview import (fit_multiview, orbit_views,
+                                     recovery_report, render_views)
+        views = orbit_views(camcfg, args.views, span_deg=args.span)
+        targets = render_views(scene, views, cfg)
+        full = cfg.width
+        sizes = tuple(s for s in (full // 8, full // 4, full // 2)
+                      if s >= 32)
+        res = fit_multiview(scene, views, cfg, targets, init=init,
+                            sizes=sizes,
+                            steps_per_sigma=max(args.steps // 3, 10),
+                            geom_lr=args.lr, seed=args.seed,
+                            log_every=max(args.steps // 5, 1))
+        params, history = res.params, res.history
+        report = recovery_report(params, scene)
+        print("recovery error (world units; board square = 40):")
+        print(json.dumps(report, indent=2))
+    else:
+        params, history = fit(scene, camera, cfg, target, steps=args.steps,
+                              learning_rate=args.lr, params=init,
+                              log_every=max(args.steps // 10, 1))
+        report = None
     print(f"loss: {history[0]:.6g} -> {history[-1]:.6g}")
     if args.out_dir:
         import os
@@ -172,6 +196,9 @@ def cmd_fit(args):
         save_checkpoint(f"{args.out_dir}/params.npz", params)
         with open(f"{args.out_dir}/history.json", "w") as f:
             json.dump(history, f)
+        if report is not None:
+            with open(f"{args.out_dir}/recovery.json", "w") as f:
+                json.dump(report, f, indent=2)
         print(f"wrote target/fitted/params/history to {args.out_dir}")
 
 
@@ -208,6 +235,11 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=0.5)
+    p.add_argument("--views", type=int, default=1,
+                   help=">1 enables the robust multi-view recipe "
+                        "(orbit cameras, multiscale, soft annealing)")
+    p.add_argument("--span", type=float, default=90.0,
+                   help="orbit azimuth span in degrees (--views > 1)")
     p.add_argument("--out-dir", default=None)
     p.set_defaults(fn=cmd_fit)
 

@@ -37,9 +37,23 @@ from ..utils.jmath import dot3, safe_div, safe_sqrt
 
 
 def render_soft(scene: FlatScene, camera: Camera, config: RenderConfig,
-                sigma: float = 2.0):
+                sigma: float = 2.0, occupancy_only_geometry: bool = False):
     """[H,W,3] soft-silhouette render; ``sigma`` is the silhouette softness
-    in world units (~ pixel_scale units on screen)."""
+    in world units (~ pixel_scale units on screen).
+
+    ``occupancy_only_geometry``: route sphere-geometry gradients exclusively
+    through the silhouette alpha, cutting the fixed-topology shading path
+    (hit point/normal/reflection as functions of center/radius).  For
+    mirror-like spheres that shading path is rugged (reflected checkerboard)
+    and systematically biased — measured to make radii run away by tens of
+    world units — while the alpha path is smooth and well-signed.  Light and
+    material gradients still flow through shading."""
+    if occupancy_only_geometry:
+        shade_scene = scene.replace(
+            sph_center=jax.lax.stop_gradient(scene.sph_center),
+            sph_radius=jax.lax.stop_gradient(scene.sph_radius))
+    else:
+        shade_scene = scene
     w, h = config.width, config.height
     pts = screen_points(camera, w, h)
     o, v = primary_rays(camera, pts)
@@ -71,13 +85,13 @@ def render_soft(scene: FlatScene, camera: Camera, config: RenderConfig,
     # reflections/shadows included) and the scene-without-the-sphere
     # background; the alpha blend creates the occupancy gradient
     # d out / d alpha = hard - background in the silhouette band.
-    c_hard = render_rays_chain(scene, o, v, max_depth=config.max_depth,
+    c_hard = render_rays_chain(shade_scene, o, v, max_depth=config.max_depth,
                                small=config.small_number,
                                attenuation_factor=config.attenuation_factor,
                                prune=config.prune)
     nt = scene.num_triangles
     excl = jnp.where(have_sphere, nt + j, -1)
-    c_bg = render_rays_chain(scene, o, v, max_depth=config.max_depth,
+    c_bg = render_rays_chain(shade_scene, o, v, max_depth=config.max_depth,
                              small=config.small_number,
                              attenuation_factor=config.attenuation_factor,
                              prune=config.prune, exclude0=excl)
