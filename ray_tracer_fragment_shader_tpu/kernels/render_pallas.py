@@ -141,24 +141,19 @@ def pack_scene(scene: FlatScene) -> Dict[str, Any]:
     return dict(sph=sph, tri=tri, mat=mat, light=light, misc=misc)
 
 
-def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
-                        vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
-                        *res_refs,
-                        ns: int, nt: int, m: int, nl: int, depth: int,
-                        small: float, atten: float,
-                        white_id: int, black_id: int,
-                        with_residuals: bool = False,
-                        fast_recip: bool = True):
-    # res_refs (when with_residuals): bi_ref, mid_ref [depth+1, BH, BW] and
-    # one lit_ref [depth+1, BH, BW] per light — the fixed-topology residuals
-    # consumed by the replay adjoint (kernels/adjoint.py).
-    shape = vx_ref.shape
+def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
+                   *, ns: int, nt: int, m: int, nl: int,
+                   small: float, atten: float,
+                   white_id: int, black_id: int, fast_recip: bool):
+    """Shared per-tile primitives for the chain and tree kernels: closest-hit
+    sweep, winning-primitive/material gathers, secondary directions, and the
+    shadow+Phong shading loop.  All functions operate on [BH,BW] f32 planes
+    held in vector registers/VMEM."""
     f32 = jnp.float32
 
     def full(x):
         return jnp.full(shape, x, f32)
 
-    eye_x, eye_y, eye_z = misc_ref[0], misc_ref[1], misc_ref[2]
     board_x, board_z = misc_ref[3], misc_ref[5]
     board_half, board_sq = misc_ref[6], misc_ref[7]
 
@@ -232,17 +227,9 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         bd, bi = jax.lax.fori_loop(0, ns, sph_body, (bd, bi))
         return bd, bi, ux, uy, uz, vlen
 
-    # ---- per-ray state (the chain carry); the bounce-level loop is a
-    # fori_loop so the Mosaic program stays small regardless of depth ----
-    def level_body(_level, carry):
-        (ox, oy, oz, vx, vy, vz, thr_r, thr_g, thr_b,
-         col_r, col_g, col_b, excl, alive_f) = carry
-        alive = alive_f > 0.5
-        bd, bi, ux, uy, uz, _vlen = intersect_all(ox, oy, oz, vx, vy, vz,
-                                                  excl, alive)
-        hitm = jnp.logical_and(bd < BIG, alive)
-
-        # ---- winning-primitive attributes (mask-blend over primitives) ----
+    def hit_attrs(bd, bi, hitm, ox, oy, oz, ux, uy, uz):
+        """Winning-primitive attributes (mask-blend over primitives):
+        hit point, shading normal, material id with checker override."""
         def tri_attr(i, c):
             nx, ny, nz, mid, chk = c
             sel = bi == i.astype(f32)
@@ -292,12 +279,11 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         mid = jnp.where(is_chk,
                         jnp.where(parity_even, float(white_id), float(black_id)),
                         mid)
-        if with_residuals:
-            bi_res = jnp.where(hitm, bi, -1.0)
-            res_refs[0][_level] = bi_res
-            res_refs[1][_level] = mid
+        return px, py, pz, nx, ny, nz, mid
 
-        # ---- material fields (mask-blend over the material table) ----
+    def mat_attrs(mid):
+        """Material fields (mask-blend over the material table) -> 15-tuple
+        (amb3, dif3, spe3, trn3, rho, take_trans, refl_ok)."""
         def mat_attr(j, c):
             sel = mid == j.astype(f32)
             out = []
@@ -307,11 +293,10 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             out.append(jnp.where(sel, mat_ref[j, 14], c[14]))  # refl_ok
             return tuple(out)
 
-        mats = jax.lax.fori_loop(0, m, mat_attr, (full(0.0),) * 15)
-        (amb_r, amb_g, amb_b, dif_r, dif_g, dif_b, spe_r, spe_g, spe_b,
-         trn_r, trn_g, trn_b, rho, take_trans_f, refl_ok_f) = mats
+        return jax.lax.fori_loop(0, m, mat_attr, (full(0.0),) * 15)
 
-        # ---- secondary directions ----
+    def secondary_dirs(ux, uy, uz, nx, ny, nz, rho):
+        """Reflected + transmitted (Snell, TIR-guarded) unit-scale dirs."""
         cosi = ux * nx + uy * ny + uz * nz
         rx = ux - 2.0 * cosi * nx
         ry = uy - 2.0 * cosi * ny
@@ -324,8 +309,15 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         tx = (rho * ux - coef * nx) * mod_f
         ty = (rho * uy - coef * ny) * mod_f
         tz = (rho * uz - coef * nz) * mod_f
+        return rx, ry, rz, tx, ty, tz
 
-        # ---- shadows + Phong for each light ----
+    def shade(px, py, pz, nx, ny, nz, ux, uy, uz, rx, ry, rz, mats,
+              bi, hitm, thr_r, thr_g, thr_b, col_r, col_g, col_b,
+              lit_hook=None):
+        """Per-light shadow sweep + Phong accumulation (MySdlApplication.cpp
+        :1213-1228).  ``lit_hook(li, lit)`` captures shadow residuals."""
+        (amb_r, amb_g, amb_b, dif_r, dif_g, dif_b, spe_r, spe_g, spe_b,
+         _trn_r, _trn_g, _trn_b, _rho, _take, _refl) = mats
         for li in range(nl):
             lx, ly, lz = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
             lr, lg, lb = light_ref[li, 3], light_ref[li, 4], light_ref[li, 5]
@@ -336,8 +328,8 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             sd, occ_transp, _sux, _suy, _suz, _svlen = intersect_all(
                 px, py, pz, svx, svy, svz, bi, hitm, carry_transp=True)
             lit = jnp.logical_or(sd >= BIG, occ_transp > 0.5)
-            if with_residuals:
-                res_refs[2 + li][_level] = jnp.where(lit, 1.0, 0.0)
+            if lit_hook is not None:
+                lit_hook(li, lit)
 
             d2 = svx * svx + svy * svy + svz * svz
             att = atten / (atten + d2)
@@ -348,6 +340,64 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             col_r += thr_r * w * (amb_r + ndots * dif_r + udotr * spe_r) * lr
             col_g += thr_g * w * (amb_g + ndots * dif_g + udotr * spe_g) * lg
             col_b += thr_b * w * (amb_b + ndots * dif_b + udotr * spe_b) * lb
+        return col_r, col_g, col_b
+
+    import types
+    return types.SimpleNamespace(
+        full=full, intersect_all=intersect_all, hit_attrs=hit_attrs,
+        mat_attrs=mat_attrs, secondary_dirs=secondary_dirs, shade=shade)
+
+
+def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                        vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
+                        *res_refs,
+                        ns: int, nt: int, m: int, nl: int, depth: int,
+                        small: float, atten: float,
+                        white_id: int, black_id: int,
+                        with_residuals: bool = False,
+                        fast_recip: bool = True):
+    # res_refs (when with_residuals): bi_ref, mid_ref [depth+1, BH, BW] and
+    # one lit_ref [depth+1, BH, BW] per light — the fixed-topology residuals
+    # consumed by the replay adjoint (kernels/adjoint.py).
+    shape = vx_ref.shape
+    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
+                         atten=atten, white_id=white_id, black_id=black_id,
+                         fast_recip=fast_recip)
+    full = ops.full
+    eye_x, eye_y, eye_z = misc_ref[0], misc_ref[1], misc_ref[2]
+
+    # ---- per-ray state (the chain carry); the bounce-level loop is a
+    # fori_loop so the Mosaic program stays small regardless of depth ----
+    def level_body(_level, carry):
+        (ox, oy, oz, vx, vy, vz, thr_r, thr_g, thr_b,
+         col_r, col_g, col_b, excl, alive_f) = carry
+        alive = alive_f > 0.5
+        bd, bi, ux, uy, uz, _vlen = ops.intersect_all(ox, oy, oz, vx, vy, vz,
+                                                      excl, alive)
+        hitm = jnp.logical_and(bd < BIG, alive)
+
+        px, py, pz, nx, ny, nz, mid = ops.hit_attrs(bd, bi, hitm,
+                                                    ox, oy, oz, ux, uy, uz)
+        if with_residuals:
+            res_refs[0][_level] = jnp.where(hitm, bi, -1.0)
+            res_refs[1][_level] = mid
+
+        mats = ops.mat_attrs(mid)
+        (_, _, _, _, _, _, _, _, _,
+         trn_r, trn_g, trn_b, rho, take_trans_f, refl_ok_f) = mats
+
+        rx, ry, rz, tx, ty, tz = ops.secondary_dirs(ux, uy, uz, nx, ny, nz,
+                                                    rho)
+
+        def lit_hook(li, lit):
+            if with_residuals:
+                res_refs[2 + li][_level] = jnp.where(lit, 1.0, 0.0)
+
+        col_r, col_g, col_b = ops.shade(
+            px, py, pz, nx, ny, nz, ux, uy, uz, rx, ry, rz, mats,
+            bi, hitm, thr_r, thr_g, thr_b, col_r, col_g, col_b,
+            lit_hook=lit_hook)
 
         # ---- child ray selection (chain-exact) ----
         take_t = take_trans_f > 0.5
@@ -376,6 +426,73 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     b_ref[:] = out[11]
 
 
+def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                             vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
+                             *, ns: int, nt: int, m: int, nl: int, depth: int,
+                             small: float, atten: float,
+                             white_id: int, black_id: int,
+                             fast_recip: bool = True):
+    """Full binary bounce *tree* in one kernel — the literal ``rayTraceRay``
+    recursion (MySdlApplication.cpp:1230-1248): at every hit a transmitted
+    child weighted by the material transparency T AND a reflected child
+    weighted by the opacity 1-T.  Needed for fractional-transparency scenes
+    where the single-path chain kernel is inexact.
+
+    The recursion is unrolled statically in preorder (2^(depth+1)-1 node
+    visits); per-node state lives in VMEM planes, so the only memory cost is
+    ~11 live planes per recursion level.  Matches core/renderer.py's
+    ``render_rays_tree`` semantics exactly."""
+    shape = vx_ref.shape
+    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
+                         atten=atten, white_id=white_id, black_id=black_id,
+                         fast_recip=fast_recip)
+    full = ops.full
+    eye_x, eye_y, eye_z = misc_ref[0], misc_ref[1], misc_ref[2]
+
+    def node(ox, oy, oz, vx, vy, vz, thr_r, thr_g, thr_b, excl, alive_f,
+             level, col):
+        col_r, col_g, col_b = col
+        alive = alive_f > 0.5
+        bd, bi, ux, uy, uz, _vlen = ops.intersect_all(ox, oy, oz, vx, vy, vz,
+                                                      excl, alive)
+        hitm = jnp.logical_and(bd < BIG, alive)
+        px, py, pz, nx, ny, nz, mid = ops.hit_attrs(bd, bi, hitm,
+                                                    ox, oy, oz, ux, uy, uz)
+        mats = ops.mat_attrs(mid)
+        (_, _, _, _, _, _, _, _, _,
+         trn_r, trn_g, trn_b, rho, take_trans_f, refl_ok_f) = mats
+        rx, ry, rz, tx, ty, tz = ops.secondary_dirs(ux, uy, uz, nx, ny, nz,
+                                                    rho)
+        col = ops.shade(px, py, pz, nx, ny, nz, ux, uy, uz, rx, ry, rz, mats,
+                        bi, hitm, thr_r, thr_g, thr_b, col_r, col_g, col_b)
+        if level == depth:
+            return col
+        hit_f = jnp.where(hitm, 1.0, 0.0)
+        # transmitted child: traced when T != 0 and |T| > SMALL (:1238),
+        # contribution weighted by T (take_trans folds both conditions)
+        take_f = take_trans_f * hit_f
+        col = node(px, py, pz, tx * take_f, ty * take_f, tz * take_f,
+                   thr_r * trn_r * take_f, thr_g * trn_g * take_f,
+                   thr_b * trn_b * take_f, bi, hit_f, level + 1, col)
+        # reflected child: traced when opacity != 0 (:1243), weight 1-T
+        refl_f = refl_ok_f * hit_f
+        col = node(px, py, pz, rx * refl_f, ry * refl_f, rz * refl_f,
+                   thr_r * (1.0 - trn_r) * refl_f,
+                   thr_g * (1.0 - trn_g) * refl_f,
+                   thr_b * (1.0 - trn_b) * refl_f, bi, hit_f, level + 1, col)
+        return col
+
+    col = node(full(eye_x), full(eye_y), full(eye_z),
+               vx_ref[:], vy_ref[:], vz_ref[:],
+               full(1.0), full(1.0), full(1.0),
+               full(-1.0), full(1.0), 0,
+               (full(0.0), full(0.0), full(0.0)))
+    r_ref[:] = col[0]
+    g_ref[:] = col[1]
+    b_ref[:] = col[2]
+
+
 def _pad_to(x, mult, axis):
     size = x.shape[axis]
     pad = (-size) % mult
@@ -392,10 +509,11 @@ def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
     """Full-frame Pallas render -> [H,W,3] (j=0 bottom, like the core).
 
     ``interpret``: run the kernel in the Pallas interpreter (for CPU tests);
-    default auto-detects a non-TPU backend."""
-    if not scene.chain_exact:
-        raise ValueError("Pallas kernel supports chain-exact scenes; use the "
-                         "core tree renderer for fractional transparency")
+    default auto-detects a non-TPU backend.
+
+    Scenes with fractional transparency (not chain-exact) route to the
+    bounce-tree kernel automatically; cost grows as 2^depth."""
+    tree = not scene.chain_exact
     from ..config import CameraConfig
     if isinstance(camera, CameraConfig):
         camera = Camera.from_config(camera, config.width, config.height)
@@ -411,7 +529,7 @@ def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
     def one_sample(pts_s):
         img, _ = _call_kernel(packed, scene, camera, config, pts_s,
                               block_h, block_w, interpret,
-                              with_residuals=False)
+                              with_residuals=False, tree=tree)
         return img
 
     use_jitter = config.samples > 1 or config.force_jitter
@@ -438,7 +556,7 @@ def _pad_img(flat, h, w, block_h, block_w):
 
 
 def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
-                 interpret, with_residuals):
+                 interpret, with_residuals, tree=False):
     """Invoke the tile kernel over the padded frame.  Returns (img,
     residuals-or-None); residuals = dict(bi, mid [D+1,H,W], lit [L,D+1,H,W])."""
     w, h = config.width, config.height
@@ -449,16 +567,22 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
     vy = _pad_img(v[:, 1], h, w, block_h, block_w)
     vz = _pad_img(v[:, 2], h, w, block_h, block_w)
     ph, pw = vx.shape
-    kernel = functools.partial(
-        _render_tile_kernel,
+    common = dict(
         ns=packed["sph"].shape[0], nt=packed["tri"].shape[0],
         m=scene.num_materials, nl=nl,
         depth=depth, small=config.small_number,
         atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
-        with_residuals=with_residuals,
         # pl.reciprocal is TPU-only; interpret mode uses the exact divide
         fast_recip=not interpret)
+    if tree:
+        if with_residuals:
+            raise ValueError("residuals are chain-kernel-only (the replay "
+                             "adjoint does not cover bounce trees)")
+        kernel = functools.partial(_render_tile_tree_kernel, **common)
+    else:
+        kernel = functools.partial(_render_tile_kernel,
+                                   with_residuals=with_residuals, **common)
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),

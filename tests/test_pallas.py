@@ -69,14 +69,66 @@ def test_supersampling_matches_core():
     np.testing.assert_allclose(a, b, atol=1e-3)
 
 
-def test_rejects_fractional_transparency():
+def _fractional_scene():
+    """Fractional transparency (T=0.5): the reference's rayTraceRay traces
+    BOTH a transmitted child weighted T and a reflected child weighted 1-T
+    (MySdlApplication.cpp:1238-1246) — the bounce tree, not a chain."""
     from ray_tracer_fragment_shader_tpu.scene import Material, SceneBuilder
-    from ray_tracer_fragment_shader_tpu.config import CameraConfig, RenderConfig
+    glass = Material(ambient=(0.02, 0.02, 0.02), diffuse=(0.1, 0.1, 0.2),
+                     specular=(0.4, 0.4, 0.4), transparency=(0.5, 0.5, 0.5),
+                     refraction=0.9)
     scene = (SceneBuilder()
-             .add_sphere("d4", material=Material(transparency=(0.5, 0.5, 0.5)))
-             .add_light("b6").build())
+             .add_checkerboard()
+             .add_sphere("d5", material=glass)
+             .add_sphere("c3")
+             .add_light("b6")
+             .build())
+    assert not scene.chain_exact
+    return scene
+
+
+def test_tree_kernel_fractional_transparency():
+    """Bounce-tree kernel == core tree renderer on a fractional-T scene."""
+    from ray_tracer_fragment_shader_tpu.config import RenderConfig
+    from ray_tracer_fragment_shader_tpu.scene.presets import _cam
+    scene = _fractional_scene()
+    cfg = RenderConfig(width=SIZE, height=SIZE, max_depth=2, samples=1)
+    cam = _cam(SIZE)
+    a = np.asarray(render_image(scene, cam, cfg))  # auto-routes to tree mode
+    b = np.asarray(render_image_pallas(scene, cam, cfg, block_h=8,
+                                       block_w=128))
+    d = np.abs(a - b).max(-1)
+    assert (d > 1e-3).mean() <= 0.01, (
+        f"{(d > 1e-3).mean():.4f} mismatching, max {d.max():.3g}")
+    assert a.mean() == pytest.approx(b.mean(), rel=0.05)
+
+
+def test_tree_kernel_matches_chain_on_chain_exact_scene():
+    """On a chain-exact scene the bounce tree degenerates to the chain: the
+    two kernels must agree."""
+    scene, cam, cfg = presets.full_reflective(size=SIZE)
+    chain = np.asarray(render_image_pallas(scene, cam, cfg, block_h=8,
+                                           block_w=128))
+    forced_tree = scene.replace(chain_exact=False)
+    tree = np.asarray(render_image_pallas(forced_tree, cam, cfg, block_h=8,
+                                          block_w=128))
+    # decision-boundary pixels (checker parity on the horizon row) may flip
+    # between the fori_loop chain and the unrolled tree; budget them like
+    # every other parity test here
+    d = np.abs(chain - tree).max(-1)
+    assert (d > 1e-3).mean() <= 0.01
+    assert chain.mean() == pytest.approx(tree.mean(), rel=0.05)
+
+
+def test_tree_residuals_rejected():
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        render_forward_with_residuals)
+    from ray_tracer_fragment_shader_tpu.config import RenderConfig
+    from ray_tracer_fragment_shader_tpu.scene.presets import _cam
+    scene = _fractional_scene()
+    cfg = RenderConfig(width=16, height=16, max_depth=1, samples=1)
     with pytest.raises(ValueError):
-        render_image_pallas(scene, CameraConfig(), RenderConfig(width=16, height=16))
+        render_forward_with_residuals(scene, _cam(16), cfg)
 
 
 def test_pack_scene_compacts_padding():
