@@ -381,6 +381,7 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
     restricted to the ``FitParams`` leaves; scene/camera are constants."""
     scene_full = params.into_scene(scene)
     img, res = render_forward_with_residuals(scene_full, camera, config,
+                                             block_h=block_h, block_w=block_w,
                                              interpret=interpret)
     diff = img - target
     loss = jnp.mean(diff * diff)
