@@ -278,10 +278,13 @@ def _pad_tile3(x, h, w, block_h, block_w, fill):
 def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
                      residuals: Dict[str, Any], g,
                      block_h: int = 32, block_w: int = 256,
-                     interpret: bool = None) -> Dict[str, Any]:
+                     interpret: bool = None, pts=None) -> Dict[str, Any]:
     """Run the backward kernel; returns gradient tables for the *compacted*
     scene: dict(sph_center [ns,3], sph_radius [ns], light_pos [nl,3],
-    mat_ambient/diffuse/specular [m,3])."""
+    mat_ambient/diffuse/specular [m,3]).
+
+    ``pts``: optional pre-computed screen points [H*W, 3] — must match the
+    points the residual forward used (sharded row-band callers)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scene = compact_scene(scene)
@@ -295,7 +298,8 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
         camera.eye.astype(jnp.float32))
     sphd, matd, lightd = _pack_diff_tables(scene)
 
-    pts = screen_points(camera, w, h)
+    if pts is None:
+        pts = screen_points(camera, w, h)
     _, v = primary_rays(camera, pts)
     vx = _pad_img(v[:, 0], h, w, block_h, block_w)
     vy = _pad_img(v[:, 1], h, w, block_h, block_w)
@@ -369,6 +373,26 @@ def _sphere_take(scene: FlatScene):
     return np.nonzero(sv)[0]
 
 
+def grads_to_fitparams(params: FitParams, scene_full: FlatScene,
+                       grads_c: Dict[str, Any]) -> FitParams:
+    """Scatter compacted-scene gradient tables back onto the (possibly
+    padded) ``FitParams`` leaves."""
+    take = _sphere_take(scene_full)
+    if take is None:
+        d_center = grads_c["sph_center"]
+        d_radius = grads_c["sph_radius"]
+    else:
+        d_center = jnp.zeros_like(params.sph_center).at[take].set(
+            grads_c["sph_center"])
+        d_radius = jnp.zeros_like(params.sph_radius).at[take].set(
+            grads_c["sph_radius"])
+    return FitParams(sph_center=d_center, sph_radius=d_radius,
+                     light_pos=grads_c["light_pos"],
+                     mat_diffuse=grads_c["mat_diffuse"],
+                     mat_specular=grads_c["mat_specular"],
+                     mat_ambient=grads_c["mat_ambient"])
+
+
 def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                        config: RenderConfig, target,
                        block_h: int = 32, block_w: int = 256,
@@ -389,18 +413,4 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
     grads_c = fit_grads_pallas(scene_full, camera, config, res, g,
                                block_h=block_h, block_w=block_w,
                                interpret=interpret)
-    take = _sphere_take(scene_full)
-    if take is None:
-        d_center = grads_c["sph_center"]
-        d_radius = grads_c["sph_radius"]
-    else:
-        d_center = jnp.zeros_like(params.sph_center).at[take].set(
-            grads_c["sph_center"])
-        d_radius = jnp.zeros_like(params.sph_radius).at[take].set(
-            grads_c["sph_radius"])
-    grads = FitParams(sph_center=d_center, sph_radius=d_radius,
-                      light_pos=grads_c["light_pos"],
-                      mat_diffuse=grads_c["mat_diffuse"],
-                      mat_specular=grads_c["mat_specular"],
-                      mat_ambient=grads_c["mat_ambient"])
-    return loss, grads
+    return loss, grads_to_fitparams(params, scene_full, grads_c)

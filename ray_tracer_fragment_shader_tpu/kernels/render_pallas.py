@@ -505,11 +505,15 @@ def _pad_to(x, mult, axis):
 
 def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
                         key=None, block_h: int = 32, block_w: int = 256,
-                        interpret: bool = None):
+                        interpret: bool = None, pts=None):
     """Full-frame Pallas render -> [H,W,3] (j=0 bottom, like the core).
 
     ``interpret``: run the kernel in the Pallas interpreter (for CPU tests);
     default auto-detects a non-TPU backend.
+
+    ``pts``: optional pre-computed screen points [H*W, 3].  Sharded callers
+    (parallel/shard.py) pass the points of their row band together with a
+    config whose ``height`` is the band height.
 
     Scenes with fractional transparency (not chain-exact) route to the
     bounce-tree kernel automatically; cost grows as 2^depth."""
@@ -524,7 +528,8 @@ def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
     packed["misc"] = packed["misc"].at[0:3].set(
         camera.eye.astype(jnp.float32))
     w, h = config.width, config.height
-    pts = screen_points(camera, w, h)
+    if pts is None:
+        pts = screen_points(camera, w, h)
 
     def one_sample(pts_s):
         img, _ = _call_kernel(packed, scene, camera, config, pts_s,
@@ -616,9 +621,12 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
 
 def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig,
                                   block_h: int = 32, block_w: int = 256,
-                                  interpret: bool = None):
+                                  interpret: bool = None, pts=None):
     """Single-sample forward returning (img, fixed-topology residuals) for
-    the replay adjoint (kernels/adjoint.py)."""
+    the replay adjoint (kernels/adjoint.py).
+
+    ``pts``: optional pre-computed screen points [H*W, 3] (sharded row-band
+    callers pass their band's points with ``config.height`` = band height)."""
     if not scene.chain_exact:
         raise ValueError("Pallas kernel requires a chain-exact scene")
     if config.samples != 1 or config.force_jitter:
@@ -630,6 +638,7 @@ def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig
         interpret = jax.default_backend() != "tpu"
     packed = dict(pack_scene(scene))
     packed["misc"] = packed["misc"].at[0:3].set(camera.eye.astype(jnp.float32))
-    pts = screen_points(camera, config.width, config.height)
+    if pts is None:
+        pts = screen_points(camera, config.width, config.height)
     return _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
                         interpret, with_residuals=True)
