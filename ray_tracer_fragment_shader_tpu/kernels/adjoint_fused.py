@@ -285,6 +285,11 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
 
     ``pts``: optional pre-computed screen points [H*W, 3] — must match the
     points the residual forward used (sharded row-band callers)."""
+    if not scene.chain_exact:
+        raise ValueError(
+            "the fused in-kernel adjoint replays the bounce *chain*; "
+            "fractional-transparency scenes take the XLA tree replay "
+            "(kernels/adjoint.py::l2_loss_pallas)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scene = compact_scene(scene)
@@ -396,21 +401,83 @@ def grads_to_fitparams(params: FitParams, scene_full: FlatScene,
 def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                        config: RenderConfig, target,
                        block_h: int = 32, block_w: int = 256,
-                       interpret: bool = None):
+                       interpret: bool = None, key=None):
     """(loss, d loss/d params) of the L2 photometric loss with the Pallas
     forward and the fused in-kernel backward — the fast path for the
     BASELINE config-4 fit and the fwd+bwd benchmark.
 
+    Supersampled targets (``config.samples > 1`` / ``force_jitter``) are
+    supported: the rendered image is the mean of S jittered single-sample
+    kernel renders (same PRNG stream as the core renderer, so targets
+    rendered by either forward match), each sample keeping its own
+    fixed-topology residuals; the backward runs the in-kernel adjoint once
+    per sample with cotangent g/S and sums.  ``config.adaptive`` is
+    rejected: the adaptive divisor is data-dependent and has no defined
+    fixed-topology adjoint (use the XLA core path for that).
+
     Equivalent to ``jax.value_and_grad(l2_loss_pallas)`` (kernels/adjoint.py)
     restricted to the ``FitParams`` leaves; scene/camera are constants."""
+    import dataclasses
+
+    from ..ops.rays import sample_jitter
+
     scene_full = params.into_scene(scene)
-    img, res = render_forward_with_residuals(scene_full, camera, config,
-                                             block_h=block_h, block_w=block_w,
-                                             interpret=interpret)
+    use_jitter = config.samples > 1 or config.force_jitter
+    if not use_jitter:
+        img, res = render_forward_with_residuals(
+            scene_full, camera, config, block_h=block_h, block_w=block_w,
+            interpret=interpret)
+        diff = img - target
+        loss = jnp.mean(diff * diff)
+        g = (2.0 / diff.size) * diff
+        grads_c = fit_grads_pallas(scene_full, camera, config, res, g,
+                                   block_h=block_h, block_w=block_w,
+                                   interpret=interpret)
+        return loss, grads_to_fitparams(params, scene_full, grads_c)
+
+    if config.adaptive:
+        raise ValueError(
+            "adaptive supersampling has no fixed-topology adjoint "
+            "(data-dependent divisor); use the XLA core path")
+    S = config.samples
+    if key is None:
+        key = jax.random.PRNGKey(config.seed)
+    keys = jax.random.split(key, S)
+    cfg1 = dataclasses.replace(config, samples=1, force_jitter=False)
+    pts0 = screen_points(camera, config.width, config.height)
+    h, w = config.height, config.width
+
+    def fwd_body(carry, k):
+        jit = sample_jitter(k, pts0.shape[0], config.jitter_scale,
+                            dtype=pts0.dtype)
+        img_s, res_s = render_forward_with_residuals(
+            scene_full, camera, cfg1, block_h=block_h, block_w=block_w,
+            interpret=interpret, pts=pts0 + jit)
+        return carry + img_s, res_s
+
+    img_sum, res_all = jax.lax.scan(
+        fwd_body, jnp.zeros((h, w, 3), jnp.float32), keys)
+    img = img_sum / S
     diff = img - target
     loss = jnp.mean(diff * diff)
-    g = (2.0 / diff.size) * diff
-    grads_c = fit_grads_pallas(scene_full, camera, config, res, g,
-                               block_h=block_h, block_w=block_w,
-                               interpret=interpret)
+    g = (2.0 / (diff.size * S)) * diff
+
+    def bwd_body(carry, inp):
+        k, res_s = inp
+        jit = sample_jitter(k, pts0.shape[0], config.jitter_scale,
+                            dtype=pts0.dtype)
+        grads_s = fit_grads_pallas(scene_full, camera, cfg1, res_s, g,
+                                   block_h=block_h, block_w=block_w,
+                                   interpret=interpret, pts=pts0 + jit)
+        return jax.tree_util.tree_map(jnp.add, carry, grads_s), None
+
+    sc = compact_scene(scene_full)
+    ns_c, m_c, nl_c = sc.num_spheres, sc.num_materials, sc.num_lights
+    zeros = dict(sph_center=jnp.zeros((ns_c, 3), jnp.float32),
+                 sph_radius=jnp.zeros((ns_c,), jnp.float32),
+                 mat_ambient=jnp.zeros((m_c, 3), jnp.float32),
+                 mat_diffuse=jnp.zeros((m_c, 3), jnp.float32),
+                 mat_specular=jnp.zeros((m_c, 3), jnp.float32),
+                 light_pos=jnp.zeros((nl_c, 3), jnp.float32))
+    grads_c, _ = jax.lax.scan(bwd_body, zeros, (keys, res_all))
     return loss, grads_to_fitparams(params, scene_full, grads_c)

@@ -428,9 +428,11 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
 
 def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                              vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
-                             *, ns: int, nt: int, m: int, nl: int, depth: int,
+                             *res_refs,
+                             ns: int, nt: int, m: int, nl: int, depth: int,
                              small: float, atten: float,
                              white_id: int, black_id: int,
+                             with_residuals: bool = False,
                              fast_recip: bool = True):
     """Full binary bounce *tree* in one kernel — the literal ``rayTraceRay``
     recursion (MySdlApplication.cpp:1230-1248): at every hit a transmitted
@@ -441,7 +443,11 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     The recursion is unrolled statically in preorder (2^(depth+1)-1 node
     visits); per-node state lives in VMEM planes, so the only memory cost is
     ~11 live planes per recursion level.  Matches core/renderer.py's
-    ``render_rays_tree`` semantics exactly."""
+    ``render_rays_tree`` semantics exactly.
+
+    ``with_residuals``: emit per-node bi/mid (and per-light lit) planes in
+    preorder — the fixed-topology residuals of the tree replay adjoint
+    (kernels/adjoint.py::replay_render_tree)."""
     shape = vx_ref.shape
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
@@ -449,9 +455,12 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          fast_recip=fast_recip)
     full = ops.full
     eye_x, eye_y, eye_z = misc_ref[0], misc_ref[1], misc_ref[2]
+    preorder = [0]  # next preorder node index (static during the unroll)
 
     def node(ox, oy, oz, vx, vy, vz, thr_r, thr_g, thr_b, excl, alive_f,
              level, col):
+        idx = preorder[0]
+        preorder[0] += 1
         col_r, col_g, col_b = col
         alive = alive_f > 0.5
         bd, bi, ux, uy, uz, _vlen = ops.intersect_all(ox, oy, oz, vx, vy, vz,
@@ -459,13 +468,22 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         hitm = jnp.logical_and(bd < BIG, alive)
         px, py, pz, nx, ny, nz, mid = ops.hit_attrs(bd, bi, hitm,
                                                     ox, oy, oz, ux, uy, uz)
+        if with_residuals:
+            res_refs[0][idx] = jnp.where(hitm, bi, -1.0)
+            res_refs[1][idx] = mid
         mats = ops.mat_attrs(mid)
         (_, _, _, _, _, _, _, _, _,
          trn_r, trn_g, trn_b, rho, take_trans_f, refl_ok_f) = mats
         rx, ry, rz, tx, ty, tz = ops.secondary_dirs(ux, uy, uz, nx, ny, nz,
                                                     rho)
+
+        def lit_hook(li, lit):
+            if with_residuals:
+                res_refs[2 + li][idx] = jnp.where(lit, 1.0, 0.0)
+
         col = ops.shade(px, py, pz, nx, ny, nz, ux, uy, uz, rx, ry, rz, mats,
-                        bi, hitm, thr_r, thr_g, thr_b, col_r, col_g, col_b)
+                        bi, hitm, thr_r, thr_g, thr_b, col_r, col_g, col_b,
+                        lit_hook=lit_hook)
         if level == depth:
             return col
         hit_f = jnp.where(hitm, 1.0, 0.0)
@@ -542,15 +560,43 @@ def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
         return one_sample(pts)
     if key is None:
         key = jax.random.PRNGKey(config.seed)
-
-    def body(carry, k):
-        jit = sample_jitter(k, pts.shape[0], config.jitter_scale,
-                            dtype=pts.dtype)
-        return carry + one_sample(pts + jit), None
-
     keys = jax.random.split(key, config.samples)
-    total, _ = jax.lax.scan(body, jnp.zeros((h, w, 3), jnp.float32), keys)
-    return total / config.samples
+
+    if not config.adaptive:
+        def body(carry, k):
+            jit = sample_jitter(k, pts.shape[0], config.jitter_scale,
+                                dtype=pts.dtype)
+            return carry + one_sample(pts + jit), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros((h, w, 3), jnp.float32), keys)
+        return total / config.samples
+
+    # Adaptive supersampler emulation, identical to the core renderer's
+    # (core/renderer.py; MySdlApplication.cpp:1294-1311): all samples are
+    # rendered SPMD, convergence only masks accumulation, and the divisor is
+    # the loop variable at early exit.
+    small = config.small_number
+
+    def adaptive_body(carry, inp):
+        accum, divisor, done = carry
+        k, key_k = inp
+        jit = sample_jitter(key_k, pts.shape[0], config.jitter_scale,
+                            dtype=pts.dtype)
+        c = one_sample(pts + jit)
+        accum_after = jnp.where(done[..., None], accum, accum + c)
+        d = k * accum_after - (k + 1.0) * accum
+        diff = jnp.sqrt(jnp.sum(d * d, -1))
+        newly_done = jnp.logical_and(~done, diff < small * k * (k + 1.0))
+        divisor = jnp.where(newly_done, k, divisor)
+        done = jnp.logical_or(done, newly_done)
+        return (accum_after, divisor, done), None
+
+    ks = jnp.arange(config.samples, dtype=jnp.float32)
+    init = (jnp.zeros((h, w, 3), jnp.float32),
+            jnp.full((h, w), float(config.samples), jnp.float32),
+            jnp.zeros((h, w), bool))
+    (accum, divisor, _), _ = jax.lax.scan(adaptive_body, init, (ks, keys))
+    return accum / divisor[..., None]
 
 
 def _pad_img(flat, h, w, block_h, block_w):
@@ -560,10 +606,17 @@ def _pad_img(flat, h, w, block_h, block_w):
     return img
 
 
+def n_tree_nodes(depth: int) -> int:
+    """Preorder node count of the full binary bounce tree."""
+    return 2 ** (depth + 1) - 1
+
+
 def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
                  interpret, with_residuals, tree=False):
     """Invoke the tile kernel over the padded frame.  Returns (img,
-    residuals-or-None); residuals = dict(bi, mid [D+1,H,W], lit [L,D+1,H,W])."""
+    residuals-or-None); residuals = dict(bi, mid [K,H,W], lit [L,K,H,W])
+    where K = depth+1 for the chain kernel and 2^(depth+1)-1 preorder nodes
+    for the tree kernel."""
     w, h = config.width, config.height
     depth = config.max_depth
     nl = scene.num_lights
@@ -581,19 +634,19 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
         # pl.reciprocal is TPU-only; interpret mode uses the exact divide
         fast_recip=not interpret)
     if tree:
-        if with_residuals:
-            raise ValueError("residuals are chain-kernel-only (the replay "
-                             "adjoint does not cover bounce trees)")
-        kernel = functools.partial(_render_tile_tree_kernel, **common)
+        kernel = functools.partial(_render_tile_tree_kernel,
+                                   with_residuals=with_residuals, **common)
+        levels = n_tree_nodes(depth)
     else:
         kernel = functools.partial(_render_tile_kernel,
                                    with_residuals=with_residuals, **common)
+        levels = depth + 1
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
     n_res = (2 + nl) if with_residuals else 0
-    res_tile = pl.BlockSpec((depth + 1, block_h, block_w),
+    res_tile = pl.BlockSpec((levels, block_h, block_w),
                             lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -602,7 +655,7 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
         in_specs=[smem] * 5 + [tile] * 3,
         out_specs=[tile] * 3 + [res_tile] * n_res,
         out_shape=([jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 3
-                   + [jax.ShapeDtypeStruct((depth + 1, ph, pw), jnp.float32)]
+                   + [jax.ShapeDtypeStruct((levels, ph, pw), jnp.float32)]
                    * n_res),
         interpret=interpret,
     )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
@@ -615,7 +668,7 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
     if nl:
         lit = jnp.stack([out[5 + li][:, :h, :w] for li in range(nl)], 0)
     else:
-        lit = jnp.zeros((0, depth + 1, h, w), jnp.float32)
+        lit = jnp.zeros((0, levels, h, w), jnp.float32)
     return img, dict(bi=bi, mid=mid, lit=lit)
 
 
@@ -626,9 +679,11 @@ def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig
     the replay adjoint (kernels/adjoint.py).
 
     ``pts``: optional pre-computed screen points [H*W, 3] (sharded row-band
-    callers pass their band's points with ``config.height`` = band height)."""
-    if not scene.chain_exact:
-        raise ValueError("Pallas kernel requires a chain-exact scene")
+    callers pass their band's points with ``config.height`` = band height).
+
+    Chain-exact scenes use the chain kernel (residual planes indexed by
+    bounce level); fractional-transparency scenes use the bounce-tree kernel
+    (residual planes indexed by preorder tree node)."""
     if config.samples != 1 or config.force_jitter:
         raise ValueError("residual forward supports exactly one sample")
     from ..config import CameraConfig
@@ -641,4 +696,5 @@ def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig
     if pts is None:
         pts = screen_points(camera, config.width, config.height)
     return _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
-                        interpret, with_residuals=True)
+                        interpret, with_residuals=True,
+                        tree=not scene.chain_exact)
