@@ -120,15 +120,22 @@ def test_tree_kernel_matches_chain_on_chain_exact_scene():
     assert chain.mean() == pytest.approx(tree.mean(), rel=0.05)
 
 
-def test_tree_residuals_rejected():
+def test_tree_residual_forward_matches_plain_tree():
+    """The tree kernel's residual-emitting variant renders the same image
+    and produces preorder-node residual planes (2^(depth+1)-1 of them)."""
     from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
-        render_forward_with_residuals)
+        n_tree_nodes, render_forward_with_residuals)
     from ray_tracer_fragment_shader_tpu.config import RenderConfig
     from ray_tracer_fragment_shader_tpu.scene.presets import _cam
     scene = _fractional_scene()
-    cfg = RenderConfig(width=16, height=16, max_depth=1, samples=1)
-    with pytest.raises(ValueError):
-        render_forward_with_residuals(scene, _cam(16), cfg)
+    cfg = RenderConfig(width=16, height=16, max_depth=2, samples=1)
+    cam = _cam(16)
+    img, res = render_forward_with_residuals(scene, cam, cfg, block_h=8,
+                                             block_w=128)
+    plain = render_image_pallas(scene, cam, cfg, block_h=8, block_w=128)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(plain), atol=1e-6)
+    assert res["bi"].shape[0] == n_tree_nodes(cfg.max_depth)
+    assert res["lit"].shape[:2] == (1, n_tree_nodes(cfg.max_depth))
 
 
 def test_pack_scene_compacts_padding():
