@@ -2,12 +2,17 @@
 scene at 1024^2 with depth-3 reflections (BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
 
-``vs_baseline``: the reference publishes no numbers (2014 homework, no
-benchmarks — SURVEY.md section 6), so the denominator is this repo's
-engineering target for one TPU v5e chip: TARGET_RAYS_PER_S primary rays/s
-with full forward+backward.  vs_baseline > 1.0 beats the target.
+``vs_baseline`` = ``sol_fraction``: the reference publishes no numbers (2014
+homework, no benchmarks — SURVEY.md section 6), so the meaningful baseline is
+the hardware speed of light: measured step time vs the roofline step time
+(exact static VPU-op count of the kernels / measured VPU issue rate on this
+chip — utils/roofline.py).  1.0 = at speed of light; BASELINE.json's bar is
+>= 0.90.  Self-describing extras: ray accounting (primary rays only —
+``size*size*samples``; shadow/bounce rays are part of the per-ray work, not
+the ray count), device, kernel block shape, per-pixel op counts and the
+measured VPU rate.
 
 Timing methodology: the tunneled TPU runtime has tens of ms of per-dispatch
 latency and an unreliable block_until_ready, so all iterations run inside a
@@ -115,15 +120,42 @@ def main() -> None:
     rays = size * size * config.samples
     rays_per_s = rays / dt
 
-    TARGET_RAYS_PER_S = 100e6  # engineering bar for fwd+bwd on one v5e chip
+    # --- roofline: measured VPU issue rate vs the kernels' static op count
+    # (utils/roofline.py).  Only meaningful for the Pallas kernels.
+    sol = {}
+    if backend == "pallas" and jax.default_backend() == "tpu":
+        from ray_tracer_fragment_shader_tpu.utils.roofline import sol_report
+        rep = sol_report(scene, depth=depth, nl=scene.num_lights,
+                         pixels=size * size,
+                         fwd_s=dt if forward_only else None,
+                         fwd_bwd_s=None if forward_only else dt)
+        frac = rep["sol_fraction_fwd" if forward_only
+                   else "sol_fraction_fwd_bwd"]
+        sol = {
+            "sol_fraction": round(frac, 4),
+            "ops_per_pixel_fwd": rep["ops_per_pixel_fwd"],
+            "ops_per_pixel_bwd": rep["ops_per_pixel_bwd"],
+            "vpu_ops_per_s": round(rep["vpu_ops_per_s"], 0),
+        }
 
-    print(json.dumps({
+    out = {
         "metric": f"rays_per_s_per_chip_{'fwd' if forward_only else 'fwd_bwd'}"
                   f"_{size}x{size}_depth{depth}",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / TARGET_RAYS_PER_S, 4),
-    }))
+        # fraction of hardware speed of light (BASELINE bar: >= 0.90);
+        # absent/0 for non-Pallas backends where the roofline doesn't apply
+        "vs_baseline": sol.get("sol_fraction", 0.0),
+        "ray_accounting": "primary rays only (size*size*samples); shadow "
+                          "and bounce rays are per-ray work",
+        "device": jax.devices()[0].device_kind,
+        "backend": backend,
+        "adjoint": adjoint if not forward_only else None,
+        "block": [bh, bw],
+        "step_time_ms": round(dt * 1e3, 3),
+        **sol,
+    }
+    print(json.dumps(out))
     print(f"# device={jax.devices()[0].device_kind} step_time={dt*1e3:.2f}ms "
           f"(1 iter: {one_s:.3f}s, {iters} iters: {n_s:.3f}s, "
           f"compile {compile_s:.1f}s) mode={'fwd' if forward_only else 'fwd+bwd'}",

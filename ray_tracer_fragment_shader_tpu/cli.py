@@ -72,14 +72,16 @@ def _render_and_write(scene, cam, cfg, out_path):
     from .core.renderer import render_image
     from .io.image import write_image
     from .ops.rays import Camera
+    from .utils.profiling import RaysMeter
     camera = Camera.from_config(cam, cfg.width, cfg.height)
-    t0 = time.perf_counter()
+    meter = RaysMeter(rays_per_step=cfg.width * cfg.height * cfg.samples)
     img = np.asarray(jax.jit(
         lambda s, c: render_image(s, c, cfg))(scene, camera))
-    dt = time.perf_counter() - t0
+    meter.step()
     write_image(out_path, img)
     print(f"rendered {cfg.width}x{cfg.height} depth={cfg.max_depth} "
-          f"samples={cfg.samples} in {dt:.2f}s (incl. compile) -> {out_path}")
+          f"samples={cfg.samples} at {meter.rays_per_s_per_chip/1e6:.1f}M "
+          f"rays/s/chip (incl. compile) -> {out_path}")
 
 
 def cmd_render(args):

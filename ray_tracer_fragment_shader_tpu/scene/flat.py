@@ -127,8 +127,45 @@ def tri_derived(v0, v1, v2, small: float = SMALL_NUMBER):
                 denominator=denominator, degenerate=degenerate)
 
 
-def concat_scenes(a: FlatScene, b: FlatScene) -> FlatScene:  # pragma: no cover
-    raise NotImplementedError("compose scenes at the builder level instead")
+def concat_scenes(a: FlatScene, b: FlatScene) -> FlatScene:
+    """Merge two flat scenes into one: primitives, materials, prune groups
+    and lights concatenate, with ``b``'s material/group ids re-based onto the
+    combined tables.
+
+    Board parameters and ``checker_mats`` come from ``a``; ``b`` must not
+    contain checker-override triangles (two procedural boards cannot share
+    one id pair — build combined boards through ``SceneBuilder`` instead).
+    """
+    bt = np.asarray(b.tri_checker)
+    if bt.any():
+        raise ValueError("b has checker triangles; merge boards via the "
+                         "builder so they share one checker_mats pair")
+    m_off = a.num_materials
+    g_off = a.num_groups
+    cat = lambda x, y: jnp.concatenate([jnp.asarray(x), jnp.asarray(y)], 0)
+    return a.replace(
+        sph_center=cat(a.sph_center, b.sph_center),
+        sph_radius=cat(a.sph_radius, b.sph_radius),
+        sph_mat=cat(a.sph_mat, np.asarray(b.sph_mat) + m_off),
+        sph_group=cat(a.sph_group, np.asarray(b.sph_group) + g_off),
+        sph_valid=cat(a.sph_valid, b.sph_valid),
+        tri_v0=cat(a.tri_v0, b.tri_v0), tri_v1=cat(a.tri_v1, b.tri_v1),
+        tri_v2=cat(a.tri_v2, b.tri_v2),
+        tri_mat=cat(a.tri_mat, np.asarray(b.tri_mat) + m_off),
+        tri_checker=cat(a.tri_checker, b.tri_checker),
+        tri_group=cat(a.tri_group, np.asarray(b.tri_group) + g_off),
+        tri_valid=cat(a.tri_valid, b.tri_valid),
+        grp_center=cat(a.grp_center, b.grp_center),
+        grp_radius=cat(a.grp_radius, b.grp_radius),
+        mat_ambient=cat(a.mat_ambient, b.mat_ambient),
+        mat_diffuse=cat(a.mat_diffuse, b.mat_diffuse),
+        mat_specular=cat(a.mat_specular, b.mat_specular),
+        mat_transparency=cat(a.mat_transparency, b.mat_transparency),
+        mat_refraction=cat(a.mat_refraction, b.mat_refraction),
+        light_pos=cat(a.light_pos, b.light_pos),
+        light_color=cat(a.light_color, b.light_color),
+        chain_exact=a.chain_exact and b.chain_exact,
+        has_transmission=a.has_transmission or b.has_transmission)
 
 
 def _as_f(x, dtype=np.float32):

@@ -39,7 +39,7 @@ def restore_checkpoint(path: str, like: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def save_checkpoint_orbax(path: str, tree: Any) -> None:  # pragma: no cover
+def save_checkpoint_orbax(path: str, tree: Any) -> None:
     """Orbax variant for multi-host checkpoints of sharded pytrees."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
@@ -47,7 +47,7 @@ def save_checkpoint_orbax(path: str, tree: Any) -> None:  # pragma: no cover
     ckptr.wait_until_finished()
 
 
-def restore_checkpoint_orbax(path: str, like: Any) -> Any:  # pragma: no cover
+def restore_checkpoint_orbax(path: str, like: Any) -> Any:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, like)

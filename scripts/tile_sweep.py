@@ -29,7 +29,15 @@ def main() -> None:
                     help="sweep the fused fwd+bwd step instead of forward")
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--depth", type=int, default=3)
-    ap.add_argument("--iters", type=int, default=8)
+    def at_least_2(v):
+        iv = int(v)
+        if iv < 2:
+            raise argparse.ArgumentTypeError(
+                "--iters must be >= 2 (per-iter time comes from the "
+                "difference between a 1-iter and an N-iter run)")
+        return iv
+
+    ap.add_argument("--iters", type=at_least_2, default=8)
     ap.add_argument("--shapes", type=str,
                     default="32x256,64x256,32x512,16x512,64x512,128x256,8x1024")
     args = ap.parse_args()
