@@ -59,14 +59,27 @@ def main() -> None:
     from ray_tracer_fragment_shader_tpu.ops.rays import Camera
     from ray_tracer_fragment_shader_tpu.scene import presets
 
-    scene, camcfg, config = presets.full_reflective(size=size, depth=depth)
+    # preset: full_reflective (BASELINE config 3, the headline) or
+    # procedural_spheres (BASELINE config 5: 64 spheres, 4096^2, depth 3)
+    preset = os.environ.get("BENCH_PRESET", "full_reflective")
+    if preset == "procedural_spheres":
+        scene, camcfg, config = presets.procedural_spheres(size=size,
+                                                           depth=depth)
+    else:
+        scene, camcfg, config = presets.full_reflective(size=size,
+                                                        depth=depth)
     if os.environ.get("BENCH_CHUNK"):
         config = dataclasses.replace(config,
                                      chunk_size=int(os.environ["BENCH_CHUNK"]))
     camera = Camera.from_config(camcfg, config.width, config.height)
 
-    target = jax.jit(lambda s, c: render_image(s, c, config))(scene, camera)
-    float(jnp.sum(target))  # force completion
+    target = None
+    if not forward_only:
+        # target via the fast kernel (the core XLA path at 4096^2 would
+        # dominate bench wall-clock for no benefit)
+        target = jax.jit(lambda s: render_image_pallas(s, camera, config))(
+            scene)
+        float(jnp.sum(target))  # force completion
 
     params0 = FitParams.from_scene(scene)
 
@@ -138,9 +151,10 @@ def main() -> None:
             "vpu_ops_per_s": round(rep["vpu_ops_per_s"], 0),
         }
 
+    tag = "" if preset == "full_reflective" else f"_{preset}"
     out = {
         "metric": f"rays_per_s_per_chip_{'fwd' if forward_only else 'fwd_bwd'}"
-                  f"_{size}x{size}_depth{depth}",
+                  f"_{size}x{size}_depth{depth}{tag}",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         # fraction of hardware speed of light (BASELINE bar: >= 0.90);

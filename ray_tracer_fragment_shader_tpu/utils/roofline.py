@@ -130,7 +130,7 @@ def _peak_kernel(x_ref, o_ref, *, iters: int, n_chains: int):
 @functools.lru_cache(maxsize=4)
 def measure_vpu_ops_per_s(block_h: int = 32, block_w: int = 256,
                           n_chains: int = 2, grid: int = 512,
-                          iters: int = 8192, reps: int = 3) -> float:
+                          iters: int = 65536, reps: int = 5) -> float:
     """Measured elementwise-VPU throughput (ops/s) on the default device —
     the SOL denominator for the kernels' op mix (mostly non-fusable
     cmp/select/add/mul slots).  The default shape (8 vregs x 2 chains) was
@@ -154,12 +154,14 @@ def measure_vpu_ops_per_s(block_h: int = 32, block_w: int = 256,
 
     run1, run2 = make(iters), make(2 * iters)
     float(run1(x)); float(run2(x))  # compile both
-    best = float("inf")
+    deltas = []
     for _ in range(reps):
         t0 = time.perf_counter(); float(run1(x)); t1 = time.perf_counter()
         float(run2(x)); t2 = time.perf_counter()
-        best = min(best, max((t2 - t1) - (t1 - t0), 1e-9))
-    return x.size * _CHAIN_OPS * n_chains * iters / best
+        deltas.append(max((t2 - t1) - (t1 - t0), 1e-9))
+    deltas.sort()
+    med = deltas[len(deltas) // 2]  # median: robust to tunnel RTT jitter
+    return x.size * _CHAIN_OPS * n_chains * iters / med
 
 
 def sol_report(scene, depth: int, nl: int, pixels: int,

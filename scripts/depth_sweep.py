@@ -1,0 +1,108 @@
+"""Depth sweep / compile-latency proof (VERDICT r1 item 7).
+
+Compiles and times the chain kernel at the reference's MAX_DEPTH=5
+(Hw4/MySdlApplication.cpp:48) and the bounce-tree kernel at depth>=3
+(2^(depth+1)-1 inlined node visits) on the real TPU, recording compile
+seconds and step time.  Results are committed to PERF.md.
+
+Usage: python scripts/depth_sweep.py [--size 1024]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def time_render(scene, camera, config, iters=8):
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        render_image_pallas)
+
+    def one_iter(accum, eps):
+        cam2 = camera.replace(eye=camera.eye + eps)
+        img = render_image_pallas(scene, cam2, config)
+        return accum + jnp.mean(img), None
+
+    @jax.jit
+    def run(n_eps):
+        total, _ = jax.lax.scan(one_iter, jnp.float32(0.0), n_eps)
+        return total
+
+    eps1 = jnp.linspace(0.0, 1e-5, 1).astype(jnp.float32)
+    epsN = jnp.linspace(0.0, 1e-5, iters).astype(jnp.float32)
+    t0 = time.perf_counter()
+    float(run(eps1)); float(run(epsN))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(run(eps1)); one_s = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(run(epsN)); n_s = time.perf_counter() - t0
+    dt = max((n_s - one_s) / (iters - 1), 1e-9)
+    return compile_s, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--tree-size", type=int, default=512)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from ray_tracer_fragment_shader_tpu.config import RenderConfig
+    from ray_tracer_fragment_shader_tpu.ops.rays import Camera
+    from ray_tracer_fragment_shader_tpu.scene import (Material, SceneBuilder,
+                                                      presets)
+    from ray_tracer_fragment_shader_tpu.scene.presets import _cam
+
+    rows = []
+
+    # chain kernel at depths 2/3/5 on the headline scene
+    for depth in (2, 3, 5):
+        scene, camcfg, cfg = presets.full_reflective(size=args.size,
+                                                     depth=depth)
+        cam = Camera.from_config(camcfg, cfg.width, cfg.height)
+        compile_s, dt = time_render(scene, cam, cfg)
+        rays = args.size * args.size / dt
+        rows.append(dict(kernel="chain", depth=depth, size=args.size,
+                         compile_s=round(compile_s, 1),
+                         step_ms=round(dt * 1e3, 2),
+                         mrays_per_s=round(rays / 1e6, 1)))
+        print(json.dumps(rows[-1]), flush=True)
+
+    # bounce-tree kernel (fractional transparency) at depths 2/3/4
+    glass = Material(ambient=(0.02, 0.02, 0.02), diffuse=(0.1, 0.1, 0.2),
+                     specular=(0.4, 0.4, 0.4), transparency=(0.5, 0.5, 0.5),
+                     refraction=0.9)
+    tree_scene = (SceneBuilder().add_checkerboard()
+                  .add_sphere("d5", material=glass).add_sphere("c3")
+                  .add_light("b6").build())
+    for depth in (2, 3, 4):
+        cfg = RenderConfig(width=args.tree_size, height=args.tree_size,
+                           max_depth=depth, samples=1)
+        cam = Camera.from_config(_cam(args.tree_size), args.tree_size,
+                                 args.tree_size)
+        compile_s, dt = time_render(tree_scene, cam, cfg)
+        rays = args.tree_size * args.tree_size / dt
+        rows.append(dict(kernel="tree", depth=depth, size=args.tree_size,
+                         nodes=2 ** (depth + 1) - 1,
+                         compile_s=round(compile_s, 1),
+                         step_ms=round(dt * 1e3, 2),
+                         mrays_per_s=round(rays / 1e6, 1)))
+        print(json.dumps(rows[-1]), flush=True)
+
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
