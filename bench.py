@@ -142,10 +142,12 @@ def main() -> None:
                          pixels=size * size,
                          fwd_s=dt if forward_only else None,
                          fwd_bwd_s=None if forward_only else dt)
-        frac = rep["sol_fraction_fwd" if forward_only
-                   else "sol_fraction_fwd_bwd"]
+        key = "sol_fraction_fwd" if forward_only else "sol_fraction_fwd_bwd"
         sol = {
-            "sol_fraction": round(frac, 4),
+            "sol_fraction": round(rep[key], 4),
+            "sol_fraction_flat": round(rep[key + "_flat"], 4),
+            "slots_per_pixel_fwd": rep["slots_per_pixel_fwd"],
+            "slots_per_pixel_bwd": rep["slots_per_pixel_bwd"],
             "ops_per_pixel_fwd": rep["ops_per_pixel_fwd"],
             "ops_per_pixel_bwd": rep["ops_per_pixel_bwd"],
             "vpu_ops_per_s": round(rep["vpu_ops_per_s"], 0),

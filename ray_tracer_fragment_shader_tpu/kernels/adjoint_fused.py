@@ -70,7 +70,7 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                      gr_ref, gg_ref, gb_ref,
                      dsph_ref, dmat_ref, dlight_ref,
                      *, ns: int, nt: int, m: int, nl: int, depth: int,
-                     atten: float):
+                     atten: float, want_trans: bool = True):
     shape = vx_ref.shape
     f32 = jnp.float32
 
@@ -229,19 +229,24 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                                       + udotr * spe[2]) * lb
 
             if lv < depth:
-                rho = c["rho"]
-                modulus = 1.0 - rho * rho * (1.0 - cosi * cosi)
-                mod_ok = modulus > 0.0
-                cosr = safe_sqrt(modulus, mod_ok)
-                coef = cosr + rho * cosi
-                mod_f = jnp.where(mod_ok, 1.0, 0.0)
-                tx = (rho * ux - coef * nx) * mod_f
-                ty = (rho * uy - coef * ny) * mod_f
-                tz = (rho * uz - coef * nz) * mod_f
-                take_t = c["take_t"]
-                nvx = jnp.where(take_t, tx, rx)
-                nvy = jnp.where(take_t, ty, ry)
-                nvz = jnp.where(take_t, tz, rz)
+                if want_trans:
+                    rho = c["rho"]
+                    modulus = 1.0 - rho * rho * (1.0 - cosi * cosi)
+                    mod_ok = modulus > 0.0
+                    cosr = safe_sqrt(modulus, mod_ok)
+                    coef = cosr + rho * cosi
+                    mod_f = jnp.where(mod_ok, 1.0, 0.0)
+                    tx = (rho * ux - coef * nx) * mod_f
+                    ty = (rho * uy - coef * ny) * mod_f
+                    tz = (rho * uz - coef * nz) * mod_f
+                    take_t = c["take_t"]
+                    nvx = jnp.where(take_t, tx, rx)
+                    nvy = jnp.where(take_t, ty, ry)
+                    nvz = jnp.where(take_t, tz, rz)
+                else:
+                    # no transmitting material (static): the chain always
+                    # reflects — bit-identical to the gated selects above
+                    nvx, nvy, nvz = rx, ry, rz
                 vx = jnp.where(hitm, nvx, 0.0)
                 vy = jnp.where(hitm, nvy, 0.0)
                 vz = jnp.where(hitm, nvz, 0.0)
@@ -326,7 +331,8 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
     kernel = functools.partial(_bwd_tile_kernel, ns=ns,
                                nt=packed["tri"].shape[0], m=m, nl=nl,
                                depth=depth,
-                               atten=config.attenuation_factor)
+                               atten=config.attenuation_factor,
+                               want_trans=bool(scene.has_transmission))
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vfull = pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -271,10 +271,19 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
         nz = jnp.where(hitm, nz, 0.0)
 
         mid = jnp.where(is_tri, tmid, smid)
-        # checkerboard override: square parity with C truncation (:1101-1111)
-        fx = jnp.trunc((px - board_x + board_half) / board_sq)
-        fz = jnp.trunc((pz - board_z + board_half) / board_sq)
-        parity_even = jnp.mod(fx + fz, 2.0) == 0.0
+        # checkerboard override: square parity with C truncation (:1101-1111).
+        # The square-size divide becomes one exact scalar reciprocal (scalar
+        # core, free) + a vector mul instead of two vector divides, and the
+        # parity test is trunc(s/2)*2 == s (s is an exact small integer in
+        # f32) instead of mod — mod lowers to divide+trunc+mul+sub (~10 VPU
+        # slots measured) where this is mul+trunc+mul+cmp; same boolean for
+        # every integral s, including C's negative-remainder cases
+        # (-3 % 2 == -1 and trunc(-1.5)*2 == -3 are both "odd").
+        inv_sq = 1.0 / board_sq
+        fx = jnp.trunc((px - board_x + board_half) * inv_sq)
+        fz = jnp.trunc((pz - board_z + board_half) * inv_sq)
+        s_par = fx + fz
+        parity_even = jnp.trunc(s_par * 0.5) * 2.0 == s_par
         is_chk = jnp.logical_and(is_tri, tchk > 0.5)
         mid = jnp.where(is_chk,
                         jnp.where(parity_even, float(white_id), float(black_id)),
@@ -295,12 +304,20 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
 
         return jax.lax.fori_loop(0, m, mat_attr, (full(0.0),) * 15)
 
-    def secondary_dirs(ux, uy, uz, nx, ny, nz, rho):
-        """Reflected + transmitted (Snell, TIR-guarded) unit-scale dirs."""
+    def secondary_dirs(ux, uy, uz, nx, ny, nz, rho, want_trans=True):
+        """Reflected + transmitted (Snell, TIR-guarded) unit-scale dirs.
+
+        ``want_trans=False`` (static): the scene has no transmitting
+        material, so the Snell branch (sqrt + ~15 VPU ops) is skipped and
+        zero transmitted dirs are returned — bit-identical output, since
+        the chain's child select never takes them."""
         cosi = ux * nx + uy * ny + uz * nz
         rx = ux - 2.0 * cosi * nx
         ry = uy - 2.0 * cosi * ny
         rz = uz - 2.0 * cosi * nz
+        if not want_trans:
+            zero = jnp.zeros_like(rx)
+            return rx, ry, rz, zero, zero, zero
         modulus = 1.0 - rho * rho * (1.0 - cosi * cosi)
         mod_ok = modulus > 0.0
         mod_f = jnp.where(mod_ok, 1.0, 0.0)
@@ -355,6 +372,7 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                         small: float, atten: float,
                         white_id: int, black_id: int,
                         with_residuals: bool = False,
+                        want_trans: bool = True,
                         fast_recip: bool = True):
     # res_refs (when with_residuals): bi_ref, mid_ref [depth+1, BH, BW] and
     # one lit_ref [depth+1, BH, BW] per light — the fixed-topology residuals
@@ -388,7 +406,8 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
          trn_r, trn_g, trn_b, rho, take_trans_f, refl_ok_f) = mats
 
         rx, ry, rz, tx, ty, tz = ops.secondary_dirs(ux, uy, uz, nx, ny, nz,
-                                                    rho)
+                                                    rho,
+                                                    want_trans=want_trans)
 
         def lit_hook(li, lit):
             if with_residuals:
@@ -433,6 +452,7 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                              small: float, atten: float,
                              white_id: int, black_id: int,
                              with_residuals: bool = False,
+                             want_trans: bool = True,
                              fast_recip: bool = True):
     """Full binary bounce *tree* in one kernel — the literal ``rayTraceRay``
     recursion (MySdlApplication.cpp:1230-1248): at every hit a transmitted
@@ -475,7 +495,8 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         (_, _, _, _, _, _, _, _, _,
          trn_r, trn_g, trn_b, rho, take_trans_f, refl_ok_f) = mats
         rx, ry, rz, tx, ty, tz = ops.secondary_dirs(ux, uy, uz, nx, ny, nz,
-                                                    rho)
+                                                    rho,
+                                                    want_trans=want_trans)
 
         def lit_hook(li, lit):
             if with_residuals:
@@ -631,6 +652,9 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
         depth=depth, small=config.small_number,
         atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
+        # no transmitting material -> the Snell branch is statically skipped
+        # (bit-identical: the child select never takes transmitted dirs)
+        want_trans=bool(scene.has_transmission),
         # pl.reciprocal is TPU-only; interpret mode uses the exact divide
         fast_recip=not interpret)
     if tree:

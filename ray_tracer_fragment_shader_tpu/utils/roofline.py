@@ -34,30 +34,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # ---------------------------------------------------------------------------
-# Static op counts (1 VPU op = one elementwise mul/add/sub/cmp/select/abs/
-# sqrt/rsqrt/approx-recip over a tile plane; scalar-only SMEM arithmetic is
-# free).  Each constant is keyed to the kernel code it counts.
+# Static op counts, split by op class (scalar-only SMEM arithmetic is free).
+# Each table row is keyed to the kernel code it counts.  Class costs in VPU
+# issue slots were measured on v5e with dependent-chain microbenchmarks
+# (scripts/README in PERF.md): cheap arithmetic ~1 slot; select ~2.5; abs
+# ~1.5; approx-recip+Newton ~5; rsqrt ~8; sqrt/divide ~10; trunc ~4; mod ~10
+# (mod lowers to divide+trunc+mul+sub).  The flat model (every op = 1 slot)
+# is reported alongside as a lower bound.
 # ---------------------------------------------------------------------------
 
+OP_WEIGHTS = dict(basic=1.0, cmp=1.0, select=2.5, abs=1.5, recip_nr=5.0,
+                  rsqrt=8.0, sqrt=10.0, div=10.0, trunc=4.0, mod=10.0)
+
+# op-class vectors: {class: count}
 # intersect_all (kernels/render_pallas.py::_make_tile_ops.intersect_all)
-OPS_SWEEP_PROLOGUE = 12   # vlen2(5) cmp where rsqrt vlen(1) u(3)
-OPS_PER_TRI = 62          # ndv(5) plane_ok(2) ndo(5) guard(1) recip(4)
-                          # mm(2) pxyz(9) wu(5) wv(5) sb(4) tb(4)
-                          # hit(11) dist(2) upd(1) blend(2)
-OPS_PER_SPH = 37          # d(3) ud(5) disc(9) ok(1) guard(1) sqrt(1)
-                          # gate(1) s(2) hit(9) dist(1) upd(1) blend(3)
+SWEEP_PROLOGUE = dict(basic=9, cmp=1, select=1, rsqrt=1)
+PER_TRI = dict(basic=42, cmp=9, select=6, abs=1, recip_nr=1)
+                          # ndv/ndo/pxyz/wu/wv/sb/tb + hit gates + blends
+PER_SPH = dict(basic=26, cmp=5, select=5, sqrt=1)
 
 # hit_attrs: per-primitive mask-blend loops + point/normal/checker epilogue
-OPS_ATTR_PER_PRIM = 6     # 1 cmp + 5 selects
-OPS_ATTR_EPILOGUE = 45    # point(7) normal(12+9) checker(14) mid(3)
+# (checker parity is mod-free: scalar recip + mul + 3 truncs + cmp)
+ATTR_PER_PRIM = dict(cmp=1, select=5)
+ATTR_EPILOGUE = dict(basic=27, cmp=4, select=12, rsqrt=1, trunc=3)
 
-OPS_PER_MAT = 16          # mat_attrs: 1 cmp + 15 selects
-OPS_SECONDARY = 34        # secondary_dirs: cosi(5) refl(10) snell(19)
-OPS_SHADE_PER_LIGHT = 55  # sv(3) d2(5) att(2) inv_sl(3) ndots(7) udotr(6)
-                          # lit(3) w(2) rgb accumulate(24)
-OPS_CHILD_SELECT = 24     # chain child-ray selection + throughput update
+PER_MAT = dict(cmp=1, select=15)          # mat_attrs
+SECONDARY = dict(basic=29, cmp=1, select=3, sqrt=1)
+SECONDARY_NOTRANS = dict(basic=12)        # Snell statically gated off
+SHADE_PER_LIGHT = dict(basic=46, cmp=3, select=2, abs=2, rsqrt=1, div=1)
+CHILD_SELECT = dict(basic=13, cmp=3, select=8)
 
-# backward (kernels/adjoint_fused.py::_bwd_tile_kernel)
+# backward (kernels/adjoint_fused.py::_bwd_tile_kernel), flat counts
 OPS_BWD_CONST_TRI = 5     # per level per triangle: tri_attr blend
 OPS_BWD_CONST_MAT = 6     # per level per material: mat_attr blend
 OPS_BWD_CONST_MISC = 30   # thr chain + lit unpack per level
@@ -69,26 +76,53 @@ OPS_REPLAY_PER_LIGHT = 55 # same shading arithmetic as the forward
 VJP_FACTOR = 3.0          # fwd re-trace + ~2x reverse arithmetic
 
 
-def count_forward_ops(ns: int, nt: int, m: int, nl: int, depth: int) -> float:
-    """Exact per-pixel VPU op count of the chain forward kernel."""
-    sweep = OPS_SWEEP_PROLOGUE + nt * OPS_PER_TRI + ns * OPS_PER_SPH
+def _cost(vec: Dict[str, float], weighted: bool) -> float:
+    if not weighted:
+        return float(sum(vec.values()))
+    return float(sum(OP_WEIGHTS[k] * v for k, v in vec.items()))
+
+
+def count_forward_ops(ns: int, nt: int, m: int, nl: int, depth: int,
+                      weighted: bool = False,
+                      want_trans: bool = False) -> float:
+    """Per-pixel VPU slot count of the chain forward kernel.
+
+    ``weighted=False``: every op = 1 slot (lower bound).  ``weighted=True``:
+    measured per-class slot costs (OP_WEIGHTS) — the honest roofline.
+    ``want_trans``: whether the scene has transmitting materials (the
+    kernel statically skips Snell otherwise)."""
+    c = lambda vec: _cost(vec, weighted)
+    sweep = c(SWEEP_PROLOGUE) + nt * c(PER_TRI) + ns * c(PER_SPH)
+    secondary = c(SECONDARY if want_trans else SECONDARY_NOTRANS)
     per_level = (sweep                                   # primary closest-hit
-                 + (nt + ns) * OPS_ATTR_PER_PRIM + OPS_ATTR_EPILOGUE
-                 + m * OPS_PER_MAT
-                 + OPS_SECONDARY
-                 + nl * (sweep + OPS_SHADE_PER_LIGHT)    # shadow sweeps
-                 + OPS_CHILD_SELECT)
+                 + (nt + ns) * c(ATTR_PER_PRIM) + c(ATTR_EPILOGUE)
+                 + m * c(PER_MAT)
+                 + secondary
+                 + nl * (sweep + c(SHADE_PER_LIGHT))     # shadow sweeps
+                 + c(CHILD_SELECT))
     return (depth + 1) * per_level
 
 
-def count_backward_ops(ns: int, nt: int, m: int, nl: int, depth: int) -> float:
-    """Estimated per-pixel VPU op count of the fused backward kernel."""
+def count_backward_ops(ns: int, nt: int, m: int, nl: int, depth: int,
+                       weighted: bool = False,
+                       want_trans: bool = False) -> float:
+    """Estimated per-pixel VPU slot count of the fused backward kernel.
+    The weighted variant scales the flat count by the forward model's
+    weighted/flat ratio (the two kernels share the same op mix)."""
     levels = depth + 1
     const_prep = levels * (nt * OPS_BWD_CONST_TRI + m * OPS_BWD_CONST_MAT
                            + OPS_BWD_CONST_MISC)
+    replay_level = OPS_REPLAY_LEVEL - (0 if want_trans else 19)  # Snell gate
     replay = levels * (ns * OPS_REPLAY_PER_SPH + m * OPS_REPLAY_PER_MAT
-                       + OPS_REPLAY_LEVEL + nl * OPS_REPLAY_PER_LIGHT)
-    return const_prep + VJP_FACTOR * replay
+                       + replay_level + nl * OPS_REPLAY_PER_LIGHT)
+    flat = const_prep + VJP_FACTOR * replay
+    if not weighted:
+        return flat
+    ratio = (count_forward_ops(ns, nt, m, nl, depth, weighted=True,
+                               want_trans=want_trans)
+             / count_forward_ops(ns, nt, m, nl, depth, weighted=False,
+                                 want_trans=want_trans))
+    return flat * ratio
 
 
 def scene_dims(scene) -> Dict[str, int]:
@@ -169,22 +203,33 @@ def sol_report(scene, depth: int, nl: int, pixels: int,
                vpu_ops_per_s: float = None) -> Dict[str, float]:
     """Roofline summary for a measured step time.
 
-    Returns the per-pixel op counts, the measured VPU rate, the
-    speed-of-light step times and the achieved ``sol_fraction``s."""
+    Returns per-pixel slot counts (weighted = measured op-class costs,
+    flat = 1 slot/op lower bound), the measured VPU rate, the
+    speed-of-light step times and the achieved ``sol_fraction``s (the
+    primary fractions use the weighted model; ``*_flat`` are the
+    conservative lower bounds)."""
     dims = scene_dims(scene)
     dims["nl"] = nl
-    f_ops = count_forward_ops(depth=depth, **dims)
-    b_ops = count_backward_ops(depth=depth, **dims)
+    dims["want_trans"] = bool(scene.has_transmission)
+    f_w = count_forward_ops(depth=depth, weighted=True, **dims)
+    b_w = count_backward_ops(depth=depth, weighted=True, **dims)
+    f_f = count_forward_ops(depth=depth, weighted=False, **dims)
+    b_f = count_backward_ops(depth=depth, weighted=False, **dims)
     if vpu_ops_per_s is None:
         vpu_ops_per_s = measure_vpu_ops_per_s()
-    out = dict(ops_per_pixel_fwd=f_ops, ops_per_pixel_bwd=b_ops,
+    out = dict(ops_per_pixel_fwd=f_f, ops_per_pixel_bwd=b_f,
+               slots_per_pixel_fwd=round(f_w, 1),
+               slots_per_pixel_bwd=round(b_w, 1),
                vpu_ops_per_s=vpu_ops_per_s, **dims)
     if fwd_s is not None:
-        sol = f_ops * pixels / vpu_ops_per_s
+        sol = f_w * pixels / vpu_ops_per_s
         out["sol_fwd_s"] = sol
         out["sol_fraction_fwd"] = sol / fwd_s
+        out["sol_fraction_fwd_flat"] = f_f * pixels / vpu_ops_per_s / fwd_s
     if fwd_bwd_s is not None:
-        sol = (f_ops + b_ops) * pixels / vpu_ops_per_s
+        sol = (f_w + b_w) * pixels / vpu_ops_per_s
         out["sol_fwd_bwd_s"] = sol
         out["sol_fraction_fwd_bwd"] = sol / fwd_bwd_s
+        out["sol_fraction_fwd_bwd_flat"] = ((f_f + b_f) * pixels
+                                            / vpu_ops_per_s / fwd_bwd_s)
     return out
