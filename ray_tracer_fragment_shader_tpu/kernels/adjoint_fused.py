@@ -142,15 +142,44 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
 
     vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
 
-    def replay(sphd, matd, lightd):
+    # ---- pre-gathered differentiable planes (the vjp's primal inputs) ----
+    # The table->plane gather is linear; doing it OUTSIDE the differentiated
+    # closure keeps the vjp graph purely elementwise (no per-level parameter
+    # reductions interleaved with the adjoint arithmetic) and lets the
+    # gather transpose run as one batched block of masked reductions at the
+    # end — measured ~2x cheaper than vjp'ing through the gathers.
+    gath = []
+    for lv in range(depth + 1):
+        cx, cy, cz, rr = full(0.0), full(0.0), full(0.0), full(0.0)
+        for i in range(ns):
+            sel = sph_sel[lv][i]
+            cx = jnp.where(sel, sphd_ref[i, 0], cx)
+            cy = jnp.where(sel, sphd_ref[i, 1], cy)
+            cz = jnp.where(sel, sphd_ref[i, 2], cz)
+            rr = jnp.where(sel, sphd_ref[i, 3], rr)
+        fields = [full(0.0) for _ in range(9)]
+        for j in range(m):
+            sel = mat_sel[lv][j]
+            for k in range(9):
+                fields[k] = jnp.where(sel, matd_ref[j, k], fields[k])
+        gath.append([cx, cy, cz, rr] + fields)
+    lp = [[full(lightd_ref[li, 0]), full(lightd_ref[li, 1]),
+           full(lightd_ref[li, 2])] for li in range(nl)]
+
+    def replay(gath, lp):
         """Pinned-topology radiance for this tile (mirrors
-        kernels/adjoint.py::replay_render, component-array form)."""
+        kernels/adjoint.py::replay_render, component-array form) as a
+        function of the pre-gathered per-level parameter planes."""
         ox, oy, oz = full(eye[0]), full(eye[1]), full(eye[2])
         vx, vy, vz = vx0, vy0, vz0
         col = [full(0.0), full(0.0), full(0.0)]
         for lv in range(depth + 1):
             c = consts[lv]
             hitm, is_tri = c["hitm"], c["is_tri"]
+            cx, cy, cz, rr = gath[lv][0:4]
+            amb = gath[lv][4:7]
+            dif = gath[lv][7:10]
+            spe = gath[lv][10:13]
             vlen2 = vx * vx + vy * vy + vz * vz
             ray_ok = vlen2 > 0.0
             vlen = safe_sqrt(vlen2, ray_ok)
@@ -164,14 +193,7 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             m_par = safe_div(c["tnv0"] - ndo, ndv, jnp.abs(ndv) > 0.0)
             dist_tri = m_par * vlen
 
-            # sphere hit (differentiable in center/radius)
-            cx, cy, cz, rr = full(0.0), full(0.0), full(0.0), full(0.0)
-            for i in range(ns):
-                sel = sph_sel[lv][i]
-                cx = jnp.where(sel, sphd[i, 0], cx)
-                cy = jnp.where(sel, sphd[i, 1], cy)
-                cz = jnp.where(sel, sphd[i, 2], cz)
-                rr = jnp.where(sel, sphd[i, 3], rr)
+            # sphere hit (differentiable in center/radius planes)
             dx, dy, dz = cx - ox, cy - oy, cz - oz
             ud = ux * dx + uy * dy + uz * dz
             disc = ud * ud - (dx * dx + dy * dy + dz * dz) + rr * rr
@@ -192,16 +214,6 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             ny = jnp.where(hitm, ny, 0.0)
             nz = jnp.where(hitm, nz, 0.0)
 
-            # material colors (differentiable)
-            fields = [full(0.0) for _ in range(9)]
-            for j in range(m):
-                sel = mat_sel[lv][j]
-                for k in range(9):
-                    fields[k] = jnp.where(sel, matd[j, k], fields[k])
-            amb = fields[0:3]
-            dif = fields[3:6]
-            spe = fields[6:9]
-
             cosi = ux * nx + uy * ny + uz * nz
             rx = ux - 2.0 * cosi * nx
             ry = uy - 2.0 * cosi * ny
@@ -209,9 +221,9 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
 
             tr, tg, tb = thr[lv]
             for li in range(nl):
-                svx = lightd[li, 0] - px
-                svy = lightd[li, 1] - py
-                svz = lightd[li, 2] - pz
+                svx = lp[li][0] - px
+                svy = lp[li][1] - py
+                svz = lp[li][2] - pz
                 d2 = svx * svx + svy * svy + svz * svz
                 att = atten / (atten + d2)
                 inv_sl = safe_div(full(1.0), safe_sqrt(d2, d2 > 0.0),
@@ -253,8 +265,42 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                 ox, oy, oz = px, py, pz
         return col[0], col[1], col[2]
 
-    _, vjp_fn = jax.vjp(replay, sphd_ref[...], matd_ref[...], lightd_ref[...])
-    dsph, dmat, dlight = vjp_fn((gr_ref[:], gg_ref[:], gb_ref[:]))
+    _, vjp_fn = jax.vjp(replay, gath, lp)
+    d_gath, d_lp = vjp_fn((gr_ref[:], gg_ref[:], gb_ref[:]))
+
+    # ---- gather transpose, hand-batched ----
+    # Level-summed masked cotangent planes (elementwise), then ONE reduction
+    # per (entity, field) extracted through the vjp of a linear projection —
+    # 51 contiguous tile reductions instead of ~200 interleaved ones.
+    def lvsum(idx, masks_per_lv):
+        acc = full(0.0)
+        for lv in range(depth + 1):
+            acc = acc + masks_per_lv[lv] * d_gath[lv][idx]
+        return acc
+
+    sph_m = [[jnp.where(sph_sel[lv][i], 1.0, 0.0) for lv in range(depth + 1)]
+             for i in range(ns)]
+    mat_m = [[jnp.where(mat_sel[lv][j], 1.0, 0.0) for lv in range(depth + 1)]
+             for j in range(m)]
+    P_sph = [[lvsum(k, sph_m[i]) for k in range(4)] for i in range(ns)]
+    P_mat = [[lvsum(4 + k, mat_m[j]) for k in range(9)] for j in range(m)]
+
+    def project(sphd, matd, lightd):
+        q = full(0.0)
+        for i in range(ns):
+            for k in range(4):
+                q = q + sphd[i, k] * P_sph[i][k]
+        for j in range(m):
+            for k in range(9):
+                q = q + matd[j, k] * P_mat[j][k]
+        for li in range(nl):
+            for k in range(3):
+                q = q + lightd[li, k] * d_lp[li][k]
+        return jnp.sum(q)
+
+    _, vjp_proj = jax.vjp(project, sphd_ref[...], matd_ref[...],
+                          lightd_ref[...])
+    dsph, dmat, dlight = vjp_proj(jnp.float32(1.0))
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 

@@ -30,16 +30,23 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 
 def scaling_sweep(scene, camera, config, mesh_sizes: Optional[List[int]] = None,
-                  iters: int = 4):
+                  iters: int = 4, backend: str = "pallas",
+                  block_h: int = 32, block_w: int = 256):
     """Strong-scaling sweep of the sharded fwd+bwd step over growing mesh
     sizes.  Returns a list of dicts (n, step_time_s, rays_per_s, efficiency
     vs the smallest mesh).  Efficiency numbers are only meaningful on real
     multi-chip hardware; on a virtual CPU mesh this validates structure, not
-    speed (the 'devices' share one host's cores)."""
+    speed (the 'devices' share one host's cores).
+
+    ``backend="pallas"`` (default) sweeps the FAST path — per-band fused
+    Pallas forward + in-kernel adjoint with psum'd grads — so the per-chip
+    rate the sweep scales is the headline kernel rate, not the XLA
+    correctness harness (``backend="core"``)."""
     import jax.numpy as jnp
     import optax
 
-    from ..diff.fit import FitParams, make_sharded_fit_step
+    from ..diff.fit import (FitParams, make_sharded_fit_step,
+                            make_sharded_fit_step_pallas)
     from ..parallel.mesh import make_mesh
     from ..parallel.shard import render_image_sharded
 
@@ -52,29 +59,62 @@ def scaling_sweep(scene, camera, config, mesh_sizes: Optional[List[int]] = None,
     base_rate = None
     for n in mesh_sizes:
         mesh = make_mesh(devices[:n])
-        target = render_image_sharded(scene, camera, config, mesh)
-        tgt_flat = jnp.reshape(target, (-1, 3))
-        pad = (-tgt_flat.shape[0]) % n
-        if pad:
-            tgt_flat = jnp.concatenate(
-                [tgt_flat, jnp.tile(tgt_flat[-1:], (pad, 1))], 0)
+        target = render_image_sharded(scene, camera, config, mesh,
+                                      backend=backend,
+                                      block_h=block_h, block_w=block_w)
         opt = optax.adam(0.05)
-        step, (ii, jj) = make_sharded_fit_step(scene, camera, config,
-                                               tgt_flat, opt, mesh)
         params = FitParams.from_scene(scene)
         state = opt.init(params)
-        # warmup/compile
-        params, state, loss = step(params, state, ii, jj, tgt_flat)
+        if backend == "pallas":
+            step, tgt = make_sharded_fit_step_pallas(
+                scene, camera, config, target, opt, mesh,
+                block_h=block_h, block_w=block_w)
+            args = (tgt,)
+        else:
+            tgt_flat = jnp.reshape(target, (-1, 3))
+            pad = (-tgt_flat.shape[0]) % n
+            if pad:
+                tgt_flat = jnp.concatenate(
+                    [tgt_flat, jnp.tile(tgt_flat[-1:], (pad, 1))], 0)
+            step, (ii, jj) = make_sharded_fit_step(scene, camera, config,
+                                                   tgt_flat, opt, mesh)
+            args = (ii, jj, tgt_flat)
+        # Scan-difference timing (cf. bench.py): all iterations inside one
+        # jitted lax.scan so per-dispatch latency (tens of ms through the
+        # tunnel) cancels out of dt.
+        def make_runner(k):
+            @jax.jit
+            def run(params, state, *args):
+                def body(carry, _):
+                    p, s = carry
+                    p, s, loss = step(p, s, *args)
+                    return (p, s), loss
+                (p, s), losses = jax.lax.scan(body, (params, state), None,
+                                              length=k)
+                return p, s, losses[-1]
+            return run
+
+        run1, run_n = make_runner(1), make_runner(iters)
+        _, _, loss = run1(params, state, *args)       # compile + warm
+        jax.block_until_ready(loss)
+        _, _, loss = run_n(params, state, *args)
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            params, state, loss = step(params, state, ii, jj, tgt_flat)
+        _, _, loss = run1(params, state, *args)
         jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / iters
+        t1 = time.perf_counter()
+        _, _, loss = run_n(params, state, *args)
+        jax.block_until_ready(loss)
+        t2 = time.perf_counter()
+        dt = ((t2 - t1) - (t1 - t0)) / max(iters - 1, 1)
+        if dt <= 1e-7:
+            # sub-noise difference (tiny structural runs): fall back to the
+            # dispatch-inclusive average so the row stays meaningful
+            dt = (t2 - t1) / iters
         rate = config.width * config.height / dt
         if base_rate is None:
             base_rate = rate / n  # per-device rate on the smallest mesh
-        rows.append(dict(n=n, step_time_s=round(dt, 5),
+        rows.append(dict(n=n, step_time_s=round(dt, 9),
                          rays_per_s=round(rate, 1),
                          efficiency=round(rate / (base_rate * n), 4),
                          loss=float(loss)))
