@@ -46,7 +46,9 @@ def main() -> None:
     forward_only = os.environ.get("BENCH_FORWARD_ONLY", "0") == "1"
     # backend: the fused Pallas kernels (default) or XLA
     backend = os.environ.get("BENCH_BACKEND", "pallas")
-    # adjoint: fully-in-kernel backward (default) or the XLA replay
+    # adjoint: "fused" = single-kernel fwd+loss+adjoint (default);
+    # "fused2" = two-phase residual-forward + backward kernel;
+    # anything else = the XLA replay
     adjoint = os.environ.get("BENCH_ADJOINT", "fused")
 
     from ray_tracer_fragment_shader_tpu.core.renderer import render_image
@@ -101,8 +103,10 @@ def main() -> None:
                 img = render_fwd(scene, cam2, config)
             return accum + jnp.mean(img), None
         p = params0.replace(sph_center=params0.sph_center + eps)
-        if backend == "pallas" and adjoint == "fused":
-            loss, grads = fit_value_and_grad(p, scene, camera, config, target)
+        if backend == "pallas" and adjoint in ("fused", "fused2"):
+            loss, grads = fit_value_and_grad(
+                p, scene, camera, config, target,
+                single_kernel=(adjoint == "fused"))
         else:
             loss, grads = jax.value_and_grad(loss_fn)(p, scene, camera,
                                                       config, target)

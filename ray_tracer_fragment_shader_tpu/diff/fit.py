@@ -144,9 +144,8 @@ def make_sharded_fit_step_pallas(scene: FlatScene, camera: Camera,
     Matches ``fit_value_and_grad`` (kernels/adjoint_fused.py) exactly up to
     float reassociation of the per-tile gradient accumulation order.
     """
-    from ..kernels.adjoint_fused import (fit_grads_pallas,
+    from ..kernels.adjoint_fused import (fused_loss_grads_pallas,
                                          grads_to_fitparams)
-    from ..kernels.render_pallas import render_forward_with_residuals
 
     mesh = make_mesh() if mesh is None else mesh
     n = mesh.devices.size
@@ -167,17 +166,16 @@ def make_sharded_fit_step_pallas(scene: FlatScene, camera: Camera,
         ii, jj = band_rows(w, h_shard, axis)
         pts = screen_points(camera, w, h_shard, ij=(ii, jj))
         # rows >= h are mesh padding: mask their loss/cotangent to zero
-        row_valid = (jj < h).reshape(h_shard, w)[..., None]
+        row_valid = (jj < h).reshape(h_shard, w).astype(jnp.float32)
         scene_full = params.into_scene(scene)
-        img, res = render_forward_with_residuals(
-            scene_full, camera, cfg_s, block_h=block_h, block_w=block_w,
+        # single fused kernel per band: forward + L2 cotangent + replay
+        # adjoint in VMEM; only the band's gradient tables leave the chip,
+        # psum'd over ICI
+        sq_sum, grads_c = fused_loss_grads_pallas(
+            scene_full, camera, cfg_s, tgt_rows, mask=row_valid,
+            denom=denom, block_h=block_h, block_w=block_w,
             interpret=interpret, pts=pts)
-        diff = jnp.where(row_valid, img - tgt_rows, 0.0)
-        loss = jax.lax.psum(jnp.sum(diff * diff), axis) / denom
-        g = (2.0 / denom) * diff
-        grads_c = fit_grads_pallas(scene_full, camera, cfg_s, res, g,
-                                   block_h=block_h, block_w=block_w,
-                                   interpret=interpret, pts=pts)
+        loss = jax.lax.psum(sq_sum, axis) / denom
         grads = grads_to_fitparams(params, scene_full, grads_c)
         grads = jax.lax.psum(grads, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -64,28 +64,29 @@ def _pack_diff_tables(scene: FlatScene):
     return sphd, matd, lightd
 
 
-def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
-                     sphd_ref, matd_ref, lightd_ref,
-                     vx_ref, vy_ref, vz_ref, bi_ref, mid_ref, lit_ref,
-                     gr_ref, gg_ref, gb_ref,
-                     dsph_ref, dmat_ref, dlight_ref,
-                     *, ns: int, nt: int, m: int, nl: int, depth: int,
-                     atten: float, want_trans: bool = True):
-    shape = vx_ref.shape
+def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
+                       sphd_ref, matd_ref, lightd_ref,
+                       eye, vx0, vy0, vz0, bi_at, mid_at, lit_at,
+                       gr, gg, gb,
+                       *, ns: int, nt: int, m: int, nl: int, depth: int,
+                       atten: float, want_trans: bool, shape):
+    """The replay adjoint for one tile: given per-level residual accessors
+    (``bi_at(lv)``, ``mid_at(lv)``, ``lit_at(li, lv)`` -> [BH,BW] planes —
+    HBM-loaded refs in the two-phase backward kernel, VMEM scratch in the
+    fused fwd+bwd kernel) and the L2 cotangent planes, returns the per-tile
+    gradient tables (dsph, dmat, dlight)."""
     f32 = jnp.float32
 
     def full(x):
         return jnp.full(shape, x, f32)
-
-    eye = (misc_ref[0], misc_ref[1], misc_ref[2])
 
     # ---- per-level constants (fixed topology; no gradients flow here) ----
     # Selected via SMEM fori_loop mask-blends exactly like the forward kernel,
     # *outside* the differentiated closure so the VJP graph stays lean.
     consts = []
     for lv in range(depth + 1):
-        bik = bi_ref[lv]
-        midl = mid_ref[lv]
+        bik = bi_at(lv)
+        midl = mid_at(lv)
         hitm = bik >= 0.0
         is_tri = bik < float(nt)
 
@@ -110,7 +111,7 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         trn_r, trn_g, trn_b, rho, t_any = jax.lax.fori_loop(
             0, m, mat_attr, (full(0.0),) * 5)
         take_t = t_any > 0.5
-        lits = [lit_ref[li * (depth + 1) + lv] > 0.5 for li in range(nl)]
+        lits = [lit_at(li, lv) > 0.5 for li in range(nl)]
         consts.append(dict(bik=bik, midl=midl, hitm=hitm, is_tri=is_tri,
                            tn=(tnx, tny, tnz), tnv0=tnv0,
                            trn=(trn_r, trn_g, trn_b), rho=rho,
@@ -139,8 +140,6 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                for lv in range(depth + 1)]
     mat_sel = [[consts[lv]["midl"] == float(j) for j in range(m)]
                for lv in range(depth + 1)]
-
-    vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
 
     # ---- pre-gathered differentiable planes (the vjp's primal inputs) ----
     # The table->plane gather is linear; doing it OUTSIDE the differentiated
@@ -266,7 +265,7 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         return col[0], col[1], col[2]
 
     _, vjp_fn = jax.vjp(replay, gath, lp)
-    d_gath, d_lp = vjp_fn((gr_ref[:], gg_ref[:], gb_ref[:]))
+    d_gath, d_lp = vjp_fn((gr, gg, gb))
 
     # ---- gather transpose, hand-batched ----
     # Level-summed masked cotangent planes (elementwise), then ONE reduction
@@ -300,8 +299,12 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
 
     _, vjp_proj = jax.vjp(project, sphd_ref[...], matd_ref[...],
                           lightd_ref[...])
-    dsph, dmat, dlight = vjp_proj(jnp.float32(1.0))
+    return vjp_proj(jnp.float32(1.0))
 
+
+def _accumulate_grid(dsph, dmat, dlight, dsph_ref, dmat_ref, dlight_ref):
+    """First grid step initializes the gradient-table outputs; later steps
+    accumulate (the TPU grid is sequential)."""
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -315,6 +318,90 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         dsph_ref[...] += dsph
         dmat_ref[...] += dmat
         dlight_ref[...] += dlight
+
+
+def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                     sphd_ref, matd_ref, lightd_ref,
+                     vx_ref, vy_ref, vz_ref, bi_ref, mid_ref, lit_ref,
+                     gr_ref, gg_ref, gb_ref,
+                     dsph_ref, dmat_ref, dlight_ref,
+                     *, ns: int, nt: int, m: int, nl: int, depth: int,
+                     atten: float, want_trans: bool = True):
+    eye = (misc_ref[0], misc_ref[1], misc_ref[2])
+    dsph, dmat, dlight = _adjoint_tile_body(
+        tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
+        eye, vx_ref[:], vy_ref[:], vz_ref[:],
+        bi_at=lambda lv: bi_ref[lv],
+        mid_at=lambda lv: mid_ref[lv],
+        lit_at=lambda li, lv: lit_ref[li * (depth + 1) + lv],
+        gr=gr_ref[:], gg=gg_ref[:], gb=gb_ref[:],
+        ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
+        want_trans=want_trans, shape=vx_ref.shape)
+    _accumulate_grid(dsph, dmat, dlight, dsph_ref, dmat_ref, dlight_ref)
+
+
+def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                          sphd_ref, matd_ref, lightd_ref,
+                          vx_ref, vy_ref, vz_ref,
+                          tr_ref, tg_ref, tb_ref, mask_ref,
+                          loss_ref, dsph_ref, dmat_ref, dlight_ref,
+                          bi_scr, mid_scr, *lit_scrs,
+                          ns: int, nt: int, m: int, nl: int, depth: int,
+                          small: float, atten: float,
+                          white_id: int, black_id: int,
+                          want_trans: bool, fast_recip: bool,
+                          g_scale: float):
+    """Single-kernel forward + L2 loss + replay adjoint (ROADMAP r2->3 #1):
+    the tile is rendered with the chain forward, the fixed-topology residual
+    planes stay in VMEM scratch, the per-pixel L2 cotangent
+    ``g = g_scale * mask * (img - target)`` is formed in place, and the
+    replay adjoint runs immediately — no residual HBM round-trip and one
+    dispatch instead of two.  ``mask`` zeroes padding pixels (image->block
+    padding and sharded row-band mesh padding alike), so ``loss_ref``
+    accumulates the raw masked squared-error sum (divide by the pixel count
+    outside).  Semantics identical to render_forward_with_residuals +
+    fit_grads_pallas."""
+    from .render_pallas import _chain_forward, _make_tile_ops
+    shape = vx_ref.shape
+    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
+                         atten=atten, white_id=white_id, black_id=black_id,
+                         fast_recip=fast_recip)
+    eye = (misc_ref[0], misc_ref[1], misc_ref[2])
+    vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
+    col_r, col_g, col_b = _chain_forward(
+        ops, eye, vx0, vy0, vz0, nl=nl, depth=depth, want_trans=want_trans,
+        res_refs=(bi_scr, mid_scr) + lit_scrs)
+
+    mask = mask_ref[:]
+    dr = (col_r - tr_ref[:]) * mask
+    dg = (col_g - tg_ref[:]) * mask
+    db = (col_b - tb_ref[:]) * mask
+    tile_loss = jnp.sum(dr * dr + dg * dg + db * db)
+
+    dsph, dmat, dlight = _adjoint_tile_body(
+        tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
+        eye, vx0, vy0, vz0,
+        bi_at=lambda lv: bi_scr[lv],
+        mid_at=lambda lv: mid_scr[lv],
+        lit_at=lambda li, lv: lit_scrs[li][lv],
+        gr=g_scale * dr, gg=g_scale * dg, gb=g_scale * db,
+        ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
+        want_trans=want_trans, shape=shape)
+
+    # (1,1)-shaped stores: Mosaic VMEM cannot store bare scalars
+    tile_loss = tile_loss[None, None]
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        loss_ref[...] = tile_loss
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        loss_ref[...] += tile_loss
+
+    _accumulate_grid(dsph, dmat, dlight, dsph_ref, dmat_ref, dlight_ref)
 
 
 def _pad_tile3(x, h, w, block_h, block_w, fill):
@@ -417,6 +504,100 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
                 mat_specular=dmat[:m, 6:9], light_pos=dlight[:nl, 0:3])
 
 
+def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
+                            config: RenderConfig, target,
+                            mask=None, denom: float = None,
+                            block_h: int = 32, block_w: int = 256,
+                            interpret: bool = None, pts=None):
+    """Single-kernel fwd+bwd (one dispatch, residuals never touch HBM):
+    returns ``(sq_err_sum, grads_c)`` where ``sq_err_sum`` is the masked
+    squared-error sum (callers divide by the pixel count / psum it) and
+    ``grads_c`` the compacted-scene gradient tables, identical in layout to
+    ``fit_grads_pallas``'s result.
+
+    ``mask``: optional [H, W] validity plane (1 = real pixel); sharded
+    row-band callers pass ``jj < H_image`` to zero mesh-padding rows.
+    ``denom``: the loss normalizer (default ``H*W*3``) — the cotangent is
+    ``(2/denom) * mask * (img - target)``."""
+    if not scene.chain_exact:
+        raise ValueError(
+            "the fused fwd+bwd kernel replays the bounce *chain*; "
+            "fractional-transparency scenes take the XLA tree replay "
+            "(kernels/adjoint.py::l2_loss_pallas)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scene = compact_scene(scene)
+    ns, m, nl = scene.num_spheres, scene.num_materials, scene.num_lights
+    w, h = config.width, config.height
+    depth = config.max_depth
+    if denom is None:
+        denom = float(h * w * 3)
+
+    packed = pack_scene(scene)
+    packed["misc"] = packed["misc"].at[0:3].set(
+        camera.eye.astype(jnp.float32))
+    sphd, matd, lightd = _pack_diff_tables(scene)
+
+    if pts is None:
+        pts = screen_points(camera, w, h)
+    _, v = primary_rays(camera, pts)
+    vx = _pad_img(v[:, 0], h, w, block_h, block_w)
+    vy = _pad_img(v[:, 1], h, w, block_h, block_w)
+    vz = _pad_img(v[:, 2], h, w, block_h, block_w)
+    ph, pw = vx.shape
+
+    target = jnp.asarray(target, jnp.float32)
+    tr = _pad_img(target[..., 0].reshape(-1), h, w, block_h, block_w)
+    tg = _pad_img(target[..., 1].reshape(-1), h, w, block_h, block_w)
+    tb = _pad_img(target[..., 2].reshape(-1), h, w, block_h, block_w)
+    if mask is None:
+        mask = jnp.ones((h, w), jnp.float32)
+    mask = _pad_img(jnp.asarray(mask, jnp.float32).reshape(-1),
+                    h, w, block_h, block_w)
+
+    kernel = functools.partial(
+        _fused_fwd_bwd_kernel, ns=ns, nt=packed["tri"].shape[0], m=m, nl=nl,
+        depth=depth, small=config.small_number,
+        atten=config.attenuation_factor,
+        white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
+        want_trans=bool(scene.has_transmission), fast_recip=not interpret,
+        g_scale=2.0 / denom)
+    grid = (ph // block_h, pw // block_w)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    acc1 = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((max(ns, 1), SPHD_COLS), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    acc_m = pl.BlockSpec((max(m, 1), MATD_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_l = pl.BlockSpec((max(nl, 1), LIGHTD_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    res_scr = pltpu.VMEM((depth + 1, block_h, block_w), jnp.float32)
+
+    loss_sum, dsph, dmat, dlight = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem] * 5 + [vfull] * 3 + [tile] * 7,
+        out_specs=[acc1, acc, acc_m, acc_l],
+        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((max(ns, 1), SPHD_COLS), jnp.float32),
+                   jax.ShapeDtypeStruct((max(m, 1), MATD_COLS), jnp.float32),
+                   jax.ShapeDtypeStruct((max(nl, 1), LIGHTD_COLS),
+                                        jnp.float32)],
+        scratch_shapes=[res_scr] * (2 + nl),
+        interpret=interpret,
+    )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
+      packed["misc"], sphd, matd, lightd, vx, vy, vz, tr, tg, tb, mask)
+
+    grads_c = dict(sph_center=dsph[:ns, 0:3], sph_radius=dsph[:ns, 3],
+                   mat_ambient=dmat[:m, 0:3], mat_diffuse=dmat[:m, 3:6],
+                   mat_specular=dmat[:m, 6:9], light_pos=dlight[:nl, 0:3])
+    return loss_sum[0, 0], grads_c
+
+
 def _sphere_take(scene: FlatScene):
     """Indices of compacted sphere rows in the original arrays (None when the
     masks are traced and no compaction happened)."""
@@ -453,7 +634,8 @@ def grads_to_fitparams(params: FitParams, scene_full: FlatScene,
 def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                        config: RenderConfig, target,
                        block_h: int = 32, block_w: int = 256,
-                       interpret: bool = None, key=None):
+                       interpret: bool = None, key=None,
+                       single_kernel: bool = True):
     """(loss, d loss/d params) of the L2 photometric loss with the Pallas
     forward and the fused in-kernel backward — the fast path for the
     BASELINE config-4 fit and the fwd+bwd benchmark.
@@ -476,12 +658,21 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
     scene_full = params.into_scene(scene)
     use_jitter = config.samples > 1 or config.force_jitter
     if not use_jitter:
+        denom = float(config.height * config.width * 3)
+        if single_kernel and scene_full.chain_exact:
+            # one dispatch: forward + loss + replay adjoint, residual planes
+            # in VMEM scratch (never in HBM)
+            sq_sum, grads_c = fused_loss_grads_pallas(
+                scene_full, camera, config, target, denom=denom,
+                block_h=block_h, block_w=block_w, interpret=interpret)
+            return sq_sum / denom, grads_to_fitparams(params, scene_full,
+                                                      grads_c)
         img, res = render_forward_with_residuals(
             scene_full, camera, config, block_h=block_h, block_w=block_w,
             interpret=interpret)
         diff = img - target
         loss = jnp.mean(diff * diff)
-        g = (2.0 / diff.size) * diff
+        g = (2.0 / denom) * diff
         grads_c = fit_grads_pallas(scene_full, camera, config, res, g,
                                    block_h=block_h, block_w=block_w,
                                    interpret=interpret)

@@ -365,25 +365,15 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
         mat_attrs=mat_attrs, secondary_dirs=secondary_dirs, shade=shade)
 
 
-def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
-                        vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
-                        *res_refs,
-                        ns: int, nt: int, m: int, nl: int, depth: int,
-                        small: float, atten: float,
-                        white_id: int, black_id: int,
-                        with_residuals: bool = False,
-                        want_trans: bool = True,
-                        fast_recip: bool = True):
-    # res_refs (when with_residuals): bi_ref, mid_ref [depth+1, BH, BW] and
-    # one lit_ref [depth+1, BH, BW] per light — the fixed-topology residuals
-    # consumed by the replay adjoint (kernels/adjoint.py).
-    shape = vx_ref.shape
-    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
-                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
-                         atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip)
+def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
+                   want_trans: bool, res_refs=()):
+    """The chain forward as a fori_loop over bounce levels, returning the
+    accumulated (col_r, col_g, col_b) planes.  When ``res_refs`` is given
+    (bi, mid, lit_0..lit_{nl-1} refs of shape [depth+1, BH, BW] — output refs
+    of the residual forward or VMEM scratch of the fused fwd+bwd kernel) the
+    fixed-topology residuals are written per level."""
     full = ops.full
-    eye_x, eye_y, eye_z = misc_ref[0], misc_ref[1], misc_ref[2]
+    with_residuals = bool(res_refs)
 
     # ---- per-ray state (the chain carry); the bounce-level loop is a
     # fori_loop so the Mosaic program stays small regardless of depth ----
@@ -434,15 +424,39 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         return (px, py, pz, nvx, nvy, nvz, thr_r, thr_g, thr_b,
                 col_r, col_g, col_b, bi, alive_f)
 
-    init = (full(eye_x), full(eye_y), full(eye_z),
-            vx_ref[:], vy_ref[:], vz_ref[:],
+    init = (full(eye[0]), full(eye[1]), full(eye[2]),
+            vx0, vy0, vz0,
             full(1.0), full(1.0), full(1.0),
             full(0.0), full(0.0), full(0.0),
             full(-1.0), full(1.0))
     out = jax.lax.fori_loop(0, depth + 1, level_body, init)
-    r_ref[:] = out[9]
-    g_ref[:] = out[10]
-    b_ref[:] = out[11]
+    return out[9], out[10], out[11]
+
+
+def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                        vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
+                        *res_refs,
+                        ns: int, nt: int, m: int, nl: int, depth: int,
+                        small: float, atten: float,
+                        white_id: int, black_id: int,
+                        with_residuals: bool = False,
+                        want_trans: bool = True,
+                        fast_recip: bool = True):
+    # res_refs (when with_residuals): bi_ref, mid_ref [depth+1, BH, BW] and
+    # one lit_ref [depth+1, BH, BW] per light — the fixed-topology residuals
+    # consumed by the replay adjoint (kernels/adjoint.py).
+    shape = vx_ref.shape
+    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
+                         atten=atten, white_id=white_id, black_id=black_id,
+                         fast_recip=fast_recip)
+    eye = (misc_ref[0], misc_ref[1], misc_ref[2])
+    col_r, col_g, col_b = _chain_forward(
+        ops, eye, vx_ref[:], vy_ref[:], vz_ref[:], nl=nl, depth=depth,
+        want_trans=want_trans, res_refs=res_refs if with_residuals else ())
+    r_ref[:] = col_r
+    g_ref[:] = col_g
+    b_ref[:] = col_b
 
 
 def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,

@@ -83,6 +83,23 @@ def test_matches_core_autodiff(setup):
         assert r < tol, f"{fname}: rel diff {r:.3g}"
 
 
+def test_single_kernel_matches_two_phase(setup):
+    """The one-dispatch fused fwd+bwd kernel (residuals in VMEM scratch) vs
+    the two-phase residual-forward + backward-kernel path: identical math,
+    so loss and every gradient leaf agree to float32 noise."""
+    scene, cam, cfg, target = setup
+    params = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 1.5)
+    loss_1, grads_1 = fit_value_and_grad(params, scene, cam, cfg, target,
+                                         single_kernel=True)
+    loss_2, grads_2 = fit_value_and_grad(params, scene, cam, cfg, target,
+                                         single_kernel=False)
+    assert abs(float(loss_1) - float(loss_2)) <= 1e-6 * max(float(loss_2), 1)
+    for fname in FIELDS:
+        r = _rel(getattr(grads_1, fname), getattr(grads_2, fname))
+        assert r < 1e-5, f"{fname}: rel diff {r:.3g}"
+
+
 def test_fused_fit_descends(setup):
     scene, cam, cfg, target = setup
     params = FitParams.from_scene(scene).replace(
