@@ -14,11 +14,14 @@ chip — utils/roofline.py).  1.0 = at speed of light; BASELINE.json's bar is
 the ray count), device, kernel block shape, per-pixel op counts and the
 measured VPU rate.
 
-Timing methodology: the tunneled TPU runtime has tens of ms of per-dispatch
-latency and an unreliable block_until_ready, so all iterations run inside a
-single jitted lax.scan (each iteration's params perturbed by a tiny
-iteration-dependent epsilon to defeat CSE) and the final scalar is fetched
-to force completion.
+Timing methodology (utils/timing.py — shared with the tile/depth/scaling
+sweeps): all iterations run inside a single jitted lax.scan (each
+iteration's params perturbed by a tiny iteration-dependent epsilon to defeat
+CSE), the final scalar is fetched to force completion, the per-iteration
+time is the difference between a 1-iter and an N-iter run (dispatch latency
+cancels), N >= 32, and the reported time is the MEDIAN of BENCH_REPS
+independent estimates with the spread emitted — a single small-N estimate
+carries ±8% tunnel noise, more than the 0.90-bar margin.
 """
 from __future__ import annotations
 
@@ -26,7 +29,6 @@ import dataclasses
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +44,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     forward_only = os.environ.get("BENCH_FORWARD_ONLY", "0") == "1"
     # backend: the fused Pallas kernels (default) or XLA
     backend = os.environ.get("BENCH_BACKEND", "pallas")
@@ -112,27 +115,12 @@ def main() -> None:
                                                       config, target)
         return accum + loss + jnp.mean(grads.sph_radius), None
 
-    @jax.jit
-    def run(n_eps):
-        total, _ = jax.lax.scan(one_iter, jnp.float32(0.0), n_eps)
-        return total
+    from ray_tracer_fragment_shader_tpu.utils.timing import (
+        scan_diff_median, scan_runner)
 
-    eps1 = jnp.linspace(0.0, 1e-5, 1).astype(jnp.float32)
-    epsN = jnp.linspace(0.0, 1e-5, iters).astype(jnp.float32)
-
-    t0 = time.perf_counter()
-    float(run(eps1))  # compile 1-iter shape
-    float(run(epsN))  # compile N-iter shape
-    compile_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    float(run(eps1))  # dispatch overhead + 1 iter
-    one_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run(epsN))  # dispatch overhead + N iters
-    n_s = time.perf_counter() - t0
-
-    dt = max((n_s - one_s) / (iters - 1), 1e-9)  # overhead-free per-iter time
+    run_1, run_n = scan_runner(one_iter, iters)
+    timing = scan_diff_median(run_1, run_n, iters, reps=reps)
+    dt = max(timing["dt"], 1e-9)
 
     rays = size * size * config.samples
     rays_per_s = rays / dt
@@ -164,8 +152,8 @@ def main() -> None:
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         # fraction of hardware speed of light (BASELINE bar: >= 0.90);
-        # absent/0 for non-Pallas backends where the roofline doesn't apply
-        "vs_baseline": sol.get("sol_fraction", 0.0),
+        # null for non-Pallas backends where the roofline doesn't apply
+        "vs_baseline": sol.get("sol_fraction", None),
         "ray_accounting": "primary rays only (size*size*samples); shadow "
                           "and bounce rays are per-ray work",
         "device": jax.devices()[0].device_kind,
@@ -173,12 +161,18 @@ def main() -> None:
         "adjoint": adjoint if not forward_only else None,
         "block": [bh, bw],
         "step_time_ms": round(dt * 1e3, 3),
+        "step_time_ms_reps": [round(d * 1e3, 3) for d in timing["dts"]],
+        "timing": {"iters": iters, "reps": reps,
+                   "method": timing["method"],
+                   "spread": round(timing["spread"], 4)},
         **sol,
     }
     print(json.dumps(out))
     print(f"# device={jax.devices()[0].device_kind} step_time={dt*1e3:.2f}ms "
-          f"(1 iter: {one_s:.3f}s, {iters} iters: {n_s:.3f}s, "
-          f"compile {compile_s:.1f}s) mode={'fwd' if forward_only else 'fwd+bwd'}",
+          f"(median of {reps} x {iters}-iter scan-diff estimates "
+          f"{[round(d*1e3, 2) for d in timing['dts']]}, "
+          f"warmup {timing['warmup_s']:.1f}s) "
+          f"mode={'fwd' if forward_only else 'fwd+bwd'}",
           file=sys.stderr)
 
 

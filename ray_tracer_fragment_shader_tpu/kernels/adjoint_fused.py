@@ -25,7 +25,7 @@ branch-heavy shading (Hw4/MySdlApplication.cpp:1184-1249).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -373,11 +373,16 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         ops, eye, vx0, vy0, vz0, nl=nl, depth=depth, want_trans=want_trans,
         res_refs=(bi_scr, mid_scr) + lit_scrs)
 
+    # Mask applied ONCE: the tile loss is sum(mask * diff^2) and the
+    # cotangent is g_scale * mask * diff, so the returned gradient is exactly
+    # the gradient of the returned loss for ANY mask (binary validity planes
+    # and fractional weight maps alike).
     mask = mask_ref[:]
-    dr = (col_r - tr_ref[:]) * mask
-    dg = (col_g - tg_ref[:]) * mask
-    db = (col_b - tb_ref[:]) * mask
-    tile_loss = jnp.sum(dr * dr + dg * dg + db * db)
+    dr_raw = col_r - tr_ref[:]
+    dg_raw = col_g - tg_ref[:]
+    db_raw = col_b - tb_ref[:]
+    dr, dg, db = dr_raw * mask, dg_raw * mask, db_raw * mask
+    tile_loss = jnp.sum(dr * dr_raw + dg * dg_raw + db * db_raw)
 
     dsph, dmat, dlight = _adjoint_tile_body(
         tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
@@ -416,7 +421,8 @@ def _pad_tile3(x, h, w, block_h, block_w, fill):
 def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
                      residuals: Dict[str, Any], g,
                      block_h: int = 32, block_w: int = 256,
-                     interpret: bool = None, pts=None) -> Dict[str, Any]:
+                     interpret: Optional[bool] = None,
+                     pts: Optional[Any] = None) -> Dict[str, Any]:
     """Run the backward kernel; returns gradient tables for the *compacted*
     scene: dict(sph_center [ns,3], sph_radius [ns], light_pos [nl,3],
     mat_ambient/diffuse/specular [m,3]).
@@ -506,19 +512,30 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
 
 def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
                             config: RenderConfig, target,
-                            mask=None, denom: float = None,
+                            mask: Optional[Any] = None,
+                            denom: Optional[float] = None,
                             block_h: int = 32, block_w: int = 256,
-                            interpret: bool = None, pts=None):
+                            interpret: Optional[bool] = None,
+                            pts: Optional[Any] = None):
     """Single-kernel fwd+bwd (one dispatch, residuals never touch HBM):
-    returns ``(sq_err_sum, grads_c)`` where ``sq_err_sum`` is the masked
-    squared-error sum (callers divide by the pixel count / psum it) and
-    ``grads_c`` the compacted-scene gradient tables, identical in layout to
+    returns ``(sq_err_sum, grads_c)`` where ``sq_err_sum`` is the
+    mask-weighted squared-error sum ``sum(mask * (img - target)^2)``
+    (callers divide by the pixel count / psum it) and ``grads_c`` the
+    compacted-scene gradient tables, identical in layout to
     ``fit_grads_pallas``'s result.
 
-    ``mask``: optional [H, W] validity plane (1 = real pixel); sharded
+    ``mask``: optional [H, W] weight plane (1 = real pixel); sharded
     row-band callers pass ``jj < H_image`` to zero mesh-padding rows.
+    Fractional weights are supported (mask is applied once, to both the
+    loss and the cotangent).
     ``denom``: the loss normalizer (default ``H*W*3``) — the cotangent is
-    ``(2/denom) * mask * (img - target)``."""
+    ``(2/denom) * mask * (img - target)``.
+
+    Numerical note: the scalar loss accumulates tile-by-tile into one f32
+    VMEM cell across the sequential grid; at very large grids (4096^2 ->
+    thousands of tiles) this sequential f32 sum can drift a few ulps from
+    the XLA tree reduction of the two-phase path.  Gradients are unaffected
+    (per-entity table sums), and Adam only consumes the gradients."""
     if not scene.chain_exact:
         raise ValueError(
             "the fused fwd+bwd kernel replays the bounce *chain*; "
@@ -634,7 +651,7 @@ def grads_to_fitparams(params: FitParams, scene_full: FlatScene,
 def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                        config: RenderConfig, target,
                        block_h: int = 32, block_w: int = 256,
-                       interpret: bool = None, key=None,
+                       interpret: Optional[bool] = None, key=None,
                        single_kernel: bool = True):
     """(loss, d loss/d params) of the L2 photometric loss with the Pallas
     forward and the fused in-kernel backward — the fast path for the

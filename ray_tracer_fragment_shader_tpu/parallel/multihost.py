@@ -9,7 +9,6 @@ the code that runs on a pod.
 """
 from __future__ import annotations
 
-import time
 from typing import List, Optional
 
 import jax
@@ -31,7 +30,7 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 def scaling_sweep(scene, camera, config, mesh_sizes: Optional[List[int]] = None,
                   iters: int = 4, backend: str = "pallas",
-                  block_h: int = 32, block_w: int = 256):
+                  block_h: int = 32, block_w: int = 256, reps: int = 3):
     """Strong-scaling sweep of the sharded fwd+bwd step over growing mesh
     sizes.  Returns a list of dicts (n, step_time_s, rays_per_s, efficiency
     vs the smallest mesh).  Efficiency numbers are only meaningful on real
@@ -51,6 +50,7 @@ def scaling_sweep(scene, camera, config, mesh_sizes: Optional[List[int]] = None,
     from ..parallel.shard import render_image_sharded
 
     devices = jax.devices()
+    iters = max(iters, 2)
     if mesh_sizes is None:
         mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32)
                       if n <= len(devices)]
@@ -79,9 +79,11 @@ def scaling_sweep(scene, camera, config, mesh_sizes: Optional[List[int]] = None,
             step, (ii, jj) = make_sharded_fit_step(scene, camera, config,
                                                    tgt_flat, opt, mesh)
             args = (ii, jj, tgt_flat)
-        # Scan-difference timing (cf. bench.py): all iterations inside one
-        # jitted lax.scan so per-dispatch latency (tens of ms through the
-        # tunnel) cancels out of dt.
+        # Shared scan-difference timing (utils/timing.py, cf. bench.py):
+        # all iterations inside one jitted lax.scan so per-dispatch latency
+        # (tens of ms through the tunnel) cancels, median over ``reps``.
+        from ..utils.timing import scan_diff_median
+
         def make_runner(k):
             @jax.jit
             def run(params, state, *args):
@@ -95,27 +97,26 @@ def scaling_sweep(scene, camera, config, mesh_sizes: Optional[List[int]] = None,
             return run
 
         run1, run_n = make_runner(1), make_runner(iters)
-        _, _, loss = run1(params, state, *args)       # compile + warm
-        jax.block_until_ready(loss)
-        _, _, loss = run_n(params, state, *args)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        _, _, loss = run1(params, state, *args)
-        jax.block_until_ready(loss)
-        t1 = time.perf_counter()
-        _, _, loss = run_n(params, state, *args)
-        jax.block_until_ready(loss)
-        t2 = time.perf_counter()
-        dt = ((t2 - t1) - (t1 - t0)) / max(iters - 1, 1)
-        if dt <= 1e-7:
-            # sub-noise difference (tiny structural runs): fall back to the
-            # dispatch-inclusive average so the row stays meaningful
-            dt = (t2 - t1) / iters
+        loss_box = [None]
+
+        def call(run):
+            def go():
+                _, _, loss = run(params, state, *args)
+                jax.block_until_ready(loss)
+                loss_box[0] = loss
+            return go
+
+        timing = scan_diff_median(call(run1), call(run_n), iters, reps=reps)
+        dt = timing["dt"]
         rate = config.width * config.height / dt
         if base_rate is None:
             base_rate = rate / n  # per-device rate on the smallest mesh
         rows.append(dict(n=n, step_time_s=round(dt, 9),
                          rays_per_s=round(rate, 1),
                          efficiency=round(rate / (base_rate * n), 4),
-                         loss=float(loss)))
+                         # "avg" = scan-difference was sub-noise and the row
+                         # fell back to dispatch-inclusive averaging
+                         timing_method=timing["method"],
+                         timing_spread=round(timing["spread"], 4),
+                         loss=float(loss_box[0])))
     return rows

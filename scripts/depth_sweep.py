@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 
 import sys
 
@@ -26,29 +25,20 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def time_render(scene, camera, config, iters=8):
+def time_render(scene, camera, config, iters=32, reps=3):
     from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
         render_image_pallas)
+    from ray_tracer_fragment_shader_tpu.utils.timing import (
+        scan_diff_median, scan_runner)
 
     def one_iter(accum, eps):
         cam2 = camera.replace(eye=camera.eye + eps)
         img = render_image_pallas(scene, cam2, config)
         return accum + jnp.mean(img), None
 
-    @jax.jit
-    def run(n_eps):
-        total, _ = jax.lax.scan(one_iter, jnp.float32(0.0), n_eps)
-        return total
-
-    eps1 = jnp.linspace(0.0, 1e-5, 1).astype(jnp.float32)
-    epsN = jnp.linspace(0.0, 1e-5, iters).astype(jnp.float32)
-    t0 = time.perf_counter()
-    float(run(eps1)); float(run(epsN))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(run(eps1)); one_s = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(run(epsN)); n_s = time.perf_counter() - t0
-    dt = max((n_s - one_s) / (iters - 1), 1e-9)
-    return compile_s, dt
+    run_1, run_n = scan_runner(one_iter, iters)
+    timing = scan_diff_median(run_1, run_n, iters, reps=reps)
+    return timing["warmup_s"], max(timing["dt"], 1e-9)
 
 
 def main():

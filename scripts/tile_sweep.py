@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,7 +38,8 @@ def main() -> None:
                 "difference between a 1-iter and an N-iter run)")
         return iv
 
-    ap.add_argument("--iters", type=at_least_2, default=8)
+    ap.add_argument("--iters", type=at_least_2, default=32)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--shapes", type=str,
                     default="32x256,64x256,32x512,16x512,64x512,128x256,8x1024")
     args = ap.parse_args()
@@ -84,31 +84,22 @@ def main() -> None:
                                       block_h=bh, block_w=bw)
             return accum + jnp.mean(img), None
 
-        @jax.jit
-        def run(n_eps, one_iter=one_iter):
-            total, _ = jax.lax.scan(one_iter, jnp.float32(0.0), n_eps)
-            return total
+        from ray_tracer_fragment_shader_tpu.utils.timing import (
+            scan_diff_median, scan_runner)
 
-        eps1 = jnp.linspace(0.0, 1e-5, 1).astype(jnp.float32)
-        epsN = jnp.linspace(0.0, 1e-5, args.iters).astype(jnp.float32)
         try:
-            t0 = time.perf_counter()
-            float(run(eps1))
-            float(run(epsN))
-            compile_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(run(eps1))
-            one_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(run(epsN))
-            n_s = time.perf_counter() - t0
+            run_1, run_n = scan_runner(one_iter, args.iters)
+            timing = scan_diff_median(run_1, run_n, args.iters,
+                                      reps=args.reps)
         except Exception as e:  # noqa: BLE001 — report and continue sweep
             print(f"{bh:4d} x {bw:5d}  FAILED: {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:120]}", flush=True)
             continue
-        dt = max((n_s - one_s) / (args.iters - 1), 1e-9)
+        dt = max(timing["dt"], 1e-9)
         print(f"{bh:4d} x {bw:5d}  step={dt*1e3:7.2f} ms  "
-              f"rays/s={rays/dt/1e6:7.1f} M  (compile {compile_s:.0f}s)",
+              f"rays/s={rays/dt/1e6:7.1f} M  "
+              f"(reps {[round(d*1e3, 2) for d in timing['dts']]} ms, "
+              f"warmup {timing['warmup_s']:.0f}s)",
               flush=True)
 
 
