@@ -39,6 +39,7 @@ from ..config import RenderConfig
 from ..diff.fit import FitParams
 from ..ops.rays import Camera, primary_rays, screen_points
 from ..scene.flat import FlatScene
+from ..utils import fastmath
 from .render_pallas import (_pad_img, compact_scene, pack_scene,
                             render_forward_with_residuals)
 
@@ -65,6 +66,322 @@ def _pack_diff_tables(scene: FlatScene):
     return sphd, matd, lightd
 
 
+def _node_reverse(c, rec, gath_n, d_gath_n, d_lp, lcol, G3, atten, nl,
+                  inflow):
+    """Reverse sweep of ONE bounce node — the shared adjoint core of the
+    chain and tree tile bodies.  ``c``/``rec``: the node's constants and
+    primal record; ``gath_n``/``d_gath_n``: its 13 pre-gathered parameter
+    planes and their cotangent accumulators (mutated in place, like
+    ``d_lp``); ``G3``: the per-channel cotangent scale of this node's local
+    shading (chain: throughput x image cotangent; tree: path weight x image
+    cotangent); ``inflow``: dict of cotangents arriving from the node's
+    children — p (3), r (3), u (3), n (3), cosi — zeros where absent.
+    Returns (o_b 3-tuple, v_b 3-tuple), the cotangents of the node's input
+    ray.  Every masked select transposes to a masked cotangent; each
+    guarded sqrt/div adjoint reuses the primal's reciprocal (self-masking:
+    the stored inverses are already zero on dead lanes)."""
+    hitm, is_tri = c["hitm"], c["is_tri"]
+    ux, uy, uz = rec["ux"], rec["uy"], rec["uz"]
+    nx, ny, nz = rec["nx"], rec["ny"], rec["nz"]
+    rx, ry, rz = rec["rx"], rec["ry"], rec["rz"]
+    cosi = rec["cosi"]
+
+    p_bx, p_by, p_bz = inflow["p"]
+    u_bx, u_by, u_bz = inflow["u"]
+    n_bx, n_by, n_bz = inflow["n"]
+    r_bx, r_by, r_bz = inflow["r"]
+    cosi_b = inflow["cosi"]
+
+    # shading: col_ch += G3_ch * wgt * (amb + ndots*dif + udotr*spe)
+    #          * lcol_ch, per light
+    gr_, gg_, gb_ = G3
+    amb = gath_n[4:7]
+    dif = gath_n[7:10]
+    spe = gath_n[10:13]
+    for li in range(nl):
+        svx, svy, svz, att, inv_sl, dot_ns, dot_ur = rec["lights"][li]
+        lr, lg, lb = lcol[li]
+        mask_w = jnp.logical_and(c["lits"][li], hitm)
+        wgt = jnp.where(mask_w, att, 0.0)
+        abs_ns = jnp.abs(dot_ns)
+        ndots = abs_ns * inv_sl
+        udotr = jnp.abs(dot_ur)
+        kr = wgt * (lr * gr_)
+        kg = wgt * (lg * gg_)
+        kb = wgt * (lb * gb_)
+        d_gath_n[4] += kr
+        d_gath_n[5] += kg
+        d_gath_n[6] += kb
+        d_gath_n[7] += kr * ndots
+        d_gath_n[8] += kg * ndots
+        d_gath_n[9] += kb * ndots
+        d_gath_n[10] += kr * udotr
+        d_gath_n[11] += kg * udotr
+        d_gath_n[12] += kb * udotr
+        ndots_b = kr * dif[0] + kg * dif[1] + kb * dif[2]
+        udotr_b = kr * spe[0] + kg * spe[1] + kb * spe[2]
+        s_r = amb[0] + ndots * dif[0] + udotr * spe[0]
+        s_g = amb[1] + ndots * dif[1] + udotr * spe[1]
+        s_b = amb[2] + ndots * dif[2] + udotr * spe[2]
+        wgt_b = (gr_ * lr * s_r + gg_ * lg * s_g + gb_ * lb * s_b)
+        att_b = jnp.where(mask_w, wgt_b, 0.0)
+        # att = A/(A+d2): d att/d d2 = -att^2/A
+        d2_b = att_b * att * att * (-1.0 / atten)
+        # udotr = |u.r|
+        dur_b = udotr_b * jnp.sign(dot_ur)
+        u_bx += dur_b * rx
+        u_by += dur_b * ry
+        u_bz += dur_b * rz
+        r_bx += dur_b * ux
+        r_by += dur_b * uy
+        r_bz += dur_b * uz
+        # ndots = |n.sv| * inv_sl; inv_sl = where(ok, d2^-1/2, 0)
+        dns_b = ndots_b * inv_sl * jnp.sign(dot_ns)
+        d2_b += ndots_b * abs_ns * (-0.5) * inv_sl * inv_sl * inv_sl
+        n_bx += dns_b * svx
+        n_by += dns_b * svy
+        n_bz += dns_b * svz
+        sv_bx = dns_b * nx + 2.0 * d2_b * svx
+        sv_by = dns_b * ny + 2.0 * d2_b * svy
+        sv_bz = dns_b * nz + 2.0 * d2_b * svz
+        # sv = lp - p
+        d_lp[li][0] += sv_bx
+        d_lp[li][1] += sv_by
+        d_lp[li][2] += sv_bz
+        p_bx -= sv_bx
+        p_by -= sv_by
+        p_bz -= sv_bz
+
+    # r = u - 2 cosi n
+    u_bx += r_bx
+    u_by += r_by
+    u_bz += r_bz
+    cosi_b -= 2.0 * (r_bx * nx + r_by * ny + r_bz * nz)
+    two_cosi = 2.0 * cosi
+    n_bx -= two_cosi * r_bx
+    n_by -= two_cosi * r_by
+    n_bz -= two_cosi * r_bz
+    # cosi = u.n
+    u_bx += cosi_b * nx
+    u_by += cosi_b * ny
+    u_bz += cosi_b * nz
+    n_bx += cosi_b * ux
+    n_by += cosi_b * uy
+    n_bz += cosi_b * uz
+
+    # n = where(hitm, where(is_tri, tn, d0 * inv_d0), 0)
+    m_sphn = jnp.logical_and(hitm, jnp.logical_not(is_tri))
+    ns_bx = jnp.where(m_sphn, n_bx, 0.0)
+    ns_by = jnp.where(m_sphn, n_by, 0.0)
+    ns_bz = jnp.where(m_sphn, n_bz, 0.0)
+    inv_d0 = rec["inv_d0"]
+    d0x, d0y, d0z = rec["d0x"], rec["d0y"], rec["d0z"]
+    invd0_b = ns_bx * d0x + ns_by * d0y + ns_bz * d0z
+    # inv_d0 = where(ok, d0sq^-1/2, 0): d/d d0sq = -inv_d0^3/2 (self-masked)
+    d0sq_b = (-0.5) * inv_d0 * inv_d0 * inv_d0 * invd0_b
+    two_d0sq_b = 2.0 * d0sq_b
+    d0_bx = inv_d0 * ns_bx + two_d0sq_b * d0x
+    d0_by = inv_d0 * ns_by + two_d0sq_b * d0y
+    d0_bz = inv_d0 * ns_bz + two_d0sq_b * d0z
+    # d0 = p - c
+    p_bx += d0_bx
+    p_by += d0_by
+    p_bz += d0_bz
+    c_bx = -d0_bx
+    c_by = -d0_by
+    c_bz = -d0_bz
+
+    # p = o + bd * u
+    o_bx, o_by, o_bz = p_bx, p_by, p_bz
+    bd_b = p_bx * ux + p_by * uy + p_bz * uz
+    bd = rec["bd"]
+    u_bx += bd * p_bx
+    u_by += bd * p_by
+    u_bz += bd * p_bz
+
+    # bd = where(hitm, where(is_tri, dist_tri, dist_sph), 0)
+    dt_b = jnp.where(jnp.logical_and(hitm, is_tri), bd_b, 0.0)
+    ds_b = jnp.where(m_sphn, bd_b, 0.0)
+
+    # dist_sph = ud - safe_sqrt(disc); disc = ud^2 - d.d + rr^2; ud = u.d
+    disc_b = jnp.where(rec["disc_ok"],
+                       (-0.5) * rec["inv_sq"] * ds_b, 0.0)
+    ud_b = ds_b + 2.0 * rec["ud"] * disc_b
+    dx, dy, dz = rec["dx"], rec["dy"], rec["dz"]
+    rr = gath_n[3]
+    d_gath_n[3] += 2.0 * rr * disc_b
+    neg2disc_b = -2.0 * disc_b
+    d_bx = neg2disc_b * dx + ud_b * ux
+    d_by = neg2disc_b * dy + ud_b * uy
+    d_bz = neg2disc_b * dz + ud_b * uz
+    u_bx += ud_b * dx
+    u_by += ud_b * dy
+    u_bz += ud_b * dz
+    # d = c - o
+    c_bx += d_bx
+    c_by += d_by
+    c_bz += d_bz
+    o_bx -= d_bx
+    o_by -= d_by
+    o_bz -= d_bz
+    d_gath_n[0] += c_bx
+    d_gath_n[1] += c_by
+    d_gath_n[2] += c_bz
+
+    # dist_tri = m_par * vlen; m_par = safe_div(tnv0 - tn.o, ndv);
+    # ndv = tn.v; ndo = tn.o
+    tnx, tny, tnz = c["tn"]
+    m_b = dt_b * rec["vlen"]
+    vlen_b = dt_b * rec["m_par"]
+    inv_ndv = rec["inv_ndv"]
+    ndo_b = jnp.where(rec["ndv_ok"], -m_b * inv_ndv, 0.0)
+    ndv_b = -rec["m_par"] * inv_ndv * m_b   # m_par self-masks dead lanes
+    o_bx += ndo_b * tnx
+    o_by += ndo_b * tny
+    o_bz += ndo_b * tnz
+    v_bx = ndv_b * tnx
+    v_by = ndv_b * tny
+    v_bz = ndv_b * tnz
+
+    # u = v * ivl; ivl = where(ok, vlen2^-1/2, 0); vlen = vlen2 * ivl
+    ivl = rec["ivl"]
+    vx_, vy_, vz_ = rec["vx"], rec["vy"], rec["vz"]
+    v_bx += u_bx * ivl
+    v_by += u_by * ivl
+    v_bz += u_bz * ivl
+    ivl_b = u_bx * vx_ + u_by * vy_ + u_bz * vz_
+    vlen_b -= ivl * ivl * ivl_b             # d(1/vlen)/dvlen, self-masked
+    vlen2_b = 0.5 * vlen_b * ivl            # d sqrt/d vlen2, self-masked
+    two_vlen2_b = 2.0 * vlen2_b
+    v_bx += two_vlen2_b * vx_
+    v_by += two_vlen2_b * vy_
+    v_bz += two_vlen2_b * vz_
+
+    return (o_bx, o_by, o_bz), (v_bx, v_by, v_bz)
+
+
+def _masked_rsqrt(x, ok):
+    """(where(ok, 1/sqrt(x), 0), where(ok, sqrt(x), 0)) from ONE rsqrt:
+    sqrt(x) = x * rsqrt(x).  Matches safe_sqrt / safe_div(1, ., ok)
+    values exactly (1-ulp)."""
+    x_safe = jnp.where(ok, x, 1.0)
+    inv = jnp.where(ok, jax.lax.rsqrt(x_safe), 0.0)
+    return inv, x * inv
+
+
+def _node_primal(c, gath_n, lp, o, v, *, nl: int, atten: float,
+                 want_snell: bool, fast_recip: bool):
+    """Hand-written primal sweep of ONE bounce node — the shared forward
+    half of the chain and tree replay adjoints.  Mirrors
+    kernels/adjoint.py::_node_math value-for-value (same guards, 1-ulp
+    rsqrt-vs-sqrt/div differences) but skips the color accumulation and
+    keeps every intermediate the reverse sweep (``_node_reverse``)
+    consumes.  ``want_snell``: also compute the transmitted direction and
+    its Snell record (non-leaf nodes of transmitting scenes).
+
+    Returns (rec, (px, py, pz), (rx, ry, rz), (tx, ty, tz) or None)."""
+    ox, oy, oz = o
+    vx, vy, vz = v
+
+    def _recip(x):
+        return fastmath.recip(x, fast_recip)
+
+    hitm, is_tri = c["hitm"], c["is_tri"]
+    cx, cy, cz, rr = gath_n[0:4]
+    vlen2 = vx * vx + vy * vy + vz * vz
+    ray_ok = vlen2 > 0.0
+    ivl, vlen = _masked_rsqrt(vlen2, ray_ok)
+    ux, uy, uz = vx * ivl, vy * ivl, vz * ivl
+
+    tnx, tny, tnz = c["tn"]
+    ndv = tnx * vx + tny * vy + tnz * vz
+    ndv_ok = jnp.abs(ndv) > 0.0
+    inv_ndv = _recip(jnp.where(ndv_ok, ndv, 1.0))
+    ndo = tnx * ox + tny * oy + tnz * oz
+    m_par = jnp.where(ndv_ok, (c["tnv0"] - ndo) * inv_ndv, 0.0)
+    dist_tri = m_par * vlen
+
+    dx, dy, dz = cx - ox, cy - oy, cz - oz
+    ud = ux * dx + uy * dy + uz * dz
+    disc = ud * ud - (dx * dx + dy * dy + dz * dz) + rr * rr
+    disc_ok = disc > 0.0
+    inv_sq, sq = _masked_rsqrt(disc, disc_ok)
+    dist_sph = ud - sq
+
+    bd = jnp.where(hitm, jnp.where(is_tri, dist_tri, dist_sph), 0.0)
+    px, py, pz = ox + bd * ux, oy + bd * uy, oz + bd * uz
+
+    d0x, d0y, d0z = px - cx, py - cy, pz - cz
+    d0sq = d0x * d0x + d0y * d0y + d0z * d0z
+    inv_d0, _ = _masked_rsqrt(d0sq, d0sq > 0.0)
+    nx = jnp.where(hitm, jnp.where(is_tri, tnx, d0x * inv_d0), 0.0)
+    ny = jnp.where(hitm, jnp.where(is_tri, tny, d0y * inv_d0), 0.0)
+    nz = jnp.where(hitm, jnp.where(is_tri, tnz, d0z * inv_d0), 0.0)
+
+    cosi = ux * nx + uy * ny + uz * nz
+    rx = ux - 2.0 * cosi * nx
+    ry = uy - 2.0 * cosi * ny
+    rz = uz - 2.0 * cosi * nz
+
+    lrec = []
+    for li in range(nl):
+        svx = lp[li][0] - px
+        svy = lp[li][1] - py
+        svz = lp[li][2] - pz
+        d2 = svx * svx + svy * svy + svz * svz
+        att = atten * _recip(atten + d2)      # atten + d2 >= atten > 0
+        inv_sl, _ = _masked_rsqrt(d2, d2 > 0.0)
+        dot_ns = nx * svx + ny * svy + nz * svz
+        dot_ur = ux * rx + uy * ry + uz * rz
+        lrec.append((svx, svy, svz, att, inv_sl, dot_ns, dot_ur))
+
+    rec = dict(vx=vx, vy=vy, vz=vz, ivl=ivl, vlen=vlen,
+               ux=ux, uy=uy, uz=uz,
+               ndv_ok=ndv_ok, inv_ndv=inv_ndv, m_par=m_par,
+               dx=dx, dy=dy, dz=dz, ud=ud, disc_ok=disc_ok,
+               inv_sq=inv_sq, bd=bd, px=px, py=py, pz=pz,
+               d0x=d0x, d0y=d0y, d0z=d0z, inv_d0=inv_d0,
+               nx=nx, ny=ny, nz=nz, cosi=cosi, rx=rx, ry=ry, rz=rz,
+               lights=lrec)
+
+    t_dir = None
+    if want_snell:
+        rho = c["rho"]
+        modulus = 1.0 - rho * rho * (1.0 - cosi * cosi)
+        mod_ok = modulus > 0.0
+        inv_cosr, cosr = _masked_rsqrt(modulus, mod_ok)
+        mod_f = jnp.where(mod_ok, 1.0, 0.0)
+        coef = cosr + rho * cosi
+        tx = (rho * ux - coef * nx) * mod_f
+        ty = (rho * uy - coef * ny) * mod_f
+        tz = (rho * uz - coef * nz) * mod_f
+        rec.update(mod_ok=mod_ok, mod_f=mod_f, inv_cosr=inv_cosr, coef=coef)
+        t_dir = (tx, ty, tz)
+    return rec, (px, py, pz), (rx, ry, rz), t_dir
+
+
+def _snell_reverse(c, rec, t_b):
+    """Adjoint of the transmitted direction t = (rho*u - coef*n) * mod_f
+    given its cotangent 3-tuple ``t_b``.  Returns (u_b, n_b, cosi_b)
+    contributions.  Shared by the chain (select transpose) and tree (both
+    children) reverse sweeps."""
+    t_bx, t_by, t_bz = t_b
+    rho = c["rho"]
+    nx, ny, nz = rec["nx"], rec["ny"], rec["nz"]
+    mod_f, coef = rec["mod_f"], rec["coef"]
+    rho_mf = rho * mod_f
+    u_b = (rho_mf * t_bx, rho_mf * t_by, rho_mf * t_bz)
+    cmf = coef * mod_f
+    n_b = (-cmf * t_bx, -cmf * t_by, -cmf * t_bz)
+    coef_b = -mod_f * (t_bx * nx + t_by * ny + t_bz * nz)
+    # coef = cosr + rho*cosi; cosr = safe_sqrt(modulus, mod_ok);
+    # modulus = 1 - rho^2 (1 - cosi^2)
+    cosi_b = rho * coef_b
+    mod_b = 0.5 * rec["inv_cosr"] * coef_b      # inv_cosr self-masks
+    cosi_b += mod_b * (2.0 * rho * rho) * rec["cosi"]
+    return u_b, n_b, cosi_b
+
+
 def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
                        sphd_ref, matd_ref, lightd_ref,
                        eye, vx0, vy0, vz0, bi_at, mid_at, lit_at,
@@ -85,8 +402,8 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
     adjoint factor), and the color accumulation — whose value the kernel
     never needs — is skipped entirely.  Versus the traced ``jax.vjp`` of
     the replay closure this cuts the backward per-level slot count ~2x
-    (exact counts: utils/roofline.py::count_backward_ops, audited against
-    this function line by line).  Gradients are defined through fixed hit
+    (exact counts derived from this function's own jaxpr:
+    utils/opcount.py::kernel_op_counts).  Gradients are defined through fixed hit
     topology, identical to kernels/adjoint.py::replay_render's autodiff
     (parity asserted in tests/test_adjoint_fused.py)."""
     f32 = jnp.float32
@@ -179,122 +496,39 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
     lp = [[full(lightd_ref[li, 0]), full(lightd_ref[li, 1]),
            full(lightd_ref[li, 2])] for li in range(nl)]
 
-    def _recip(x):
-        """Reciprocal of a pre-guarded nonzero plane (cf. render_pallas)."""
-        if not fast_recip:
-            return 1.0 / x
-        r = pl.reciprocal(x, approx=True)
-        return r * (2.0 - x * r)
-
-    def _masked_rsqrt(x, ok):
-        """(where(ok, 1/sqrt(x), 0), where(ok, sqrt(x), 0)) from ONE rsqrt:
-        sqrt(x) = x * rsqrt(x).  Matches safe_sqrt / safe_div(1, ., ok)
-        values exactly (1-ulp)."""
-        x_safe = jnp.where(ok, x, 1.0)
-        inv = jnp.where(ok, jax.lax.rsqrt(x_safe), 0.0)
-        return inv, x * inv
-
     # ---- hand-written primal sweep ----------------------------------------
-    # Mirrors kernels/adjoint.py::replay_render value-for-value (same guards,
-    # 1-ulp rsqrt-vs-sqrt/div differences) but skips the color accumulation
-    # (never needed — the forward kernel produced the image) and keeps every
+    # Mirrors kernels/adjoint.py::replay_render value-for-value (the shared
+    # per-node helper _node_primal) but skips the color accumulation (never
+    # needed — the forward kernel produced the image) and keeps every
     # intermediate the reverse sweep consumes.
     P = []
-    ox, oy, oz = full(eye[0]), full(eye[1]), full(eye[2])
-    vx, vy, vz = vx0, vy0, vz0
+    o = (full(eye[0]), full(eye[1]), full(eye[2]))
+    v = (vx0, vy0, vz0)
     for lv in range(depth + 1):
         c = consts[lv]
-        hitm, is_tri = c["hitm"], c["is_tri"]
-        cx, cy, cz, rr = gath[lv][0:4]
-        vlen2 = vx * vx + vy * vy + vz * vz
-        ray_ok = vlen2 > 0.0
-        ivl, vlen = _masked_rsqrt(vlen2, ray_ok)
-        ux, uy, uz = vx * ivl, vy * ivl, vz * ivl
-
-        tnx, tny, tnz = c["tn"]
-        ndv = tnx * vx + tny * vy + tnz * vz
-        ndv_ok = jnp.abs(ndv) > 0.0
-        inv_ndv = _recip(jnp.where(ndv_ok, ndv, 1.0))
-        ndo = tnx * ox + tny * oy + tnz * oz
-        m_par = jnp.where(ndv_ok, (c["tnv0"] - ndo) * inv_ndv, 0.0)
-        dist_tri = m_par * vlen
-
-        dx, dy, dz = cx - ox, cy - oy, cz - oz
-        ud = ux * dx + uy * dy + uz * dz
-        disc = ud * ud - (dx * dx + dy * dy + dz * dz) + rr * rr
-        disc_ok = disc > 0.0
-        inv_sq, sq = _masked_rsqrt(disc, disc_ok)
-        dist_sph = ud - sq
-
-        bd = jnp.where(hitm, jnp.where(is_tri, dist_tri, dist_sph), 0.0)
-        px, py, pz = ox + bd * ux, oy + bd * uy, oz + bd * uz
-
-        d0x, d0y, d0z = px - cx, py - cy, pz - cz
-        d0sq = d0x * d0x + d0y * d0y + d0z * d0z
-        inv_d0, _ = _masked_rsqrt(d0sq, d0sq > 0.0)
-        nx = jnp.where(hitm, jnp.where(is_tri, tnx, d0x * inv_d0), 0.0)
-        ny = jnp.where(hitm, jnp.where(is_tri, tny, d0y * inv_d0), 0.0)
-        nz = jnp.where(hitm, jnp.where(is_tri, tnz, d0z * inv_d0), 0.0)
-
-        cosi = ux * nx + uy * ny + uz * nz
-        rx = ux - 2.0 * cosi * nx
-        ry = uy - 2.0 * cosi * ny
-        rz = uz - 2.0 * cosi * nz
-
-        lrec = []
-        for li in range(nl):
-            svx = lp[li][0] - px
-            svy = lp[li][1] - py
-            svz = lp[li][2] - pz
-            d2 = svx * svx + svy * svy + svz * svz
-            att = atten * _recip(atten + d2)      # atten + d2 >= atten > 0
-            inv_sl, _ = _masked_rsqrt(d2, d2 > 0.0)
-            dot_ns = nx * svx + ny * svy + nz * svz
-            dot_ur = ux * rx + uy * ry + uz * rz
-            lrec.append((svx, svy, svz, att, inv_sl, dot_ns, dot_ur))
-
-        rec = dict(vx=vx, vy=vy, vz=vz, ivl=ivl, vlen=vlen,
-                   ux=ux, uy=uy, uz=uz,
-                   ndv_ok=ndv_ok, inv_ndv=inv_ndv, m_par=m_par,
-                   dx=dx, dy=dy, dz=dz, ud=ud, disc_ok=disc_ok,
-                   inv_sq=inv_sq, bd=bd, px=px, py=py, pz=pz,
-                   d0x=d0x, d0y=d0y, d0z=d0z, inv_d0=inv_d0,
-                   nx=nx, ny=ny, nz=nz, cosi=cosi, rx=rx, ry=ry, rz=rz,
-                   lights=lrec)
-
+        hitm = c["hitm"]
+        want_snell = lv < depth and want_trans
+        rec, p, r_dir, t_dir = _node_primal(
+            c, gath[lv], lp, o, v, nl=nl, atten=atten,
+            want_snell=want_snell, fast_recip=fast_recip)
         if lv < depth:
             if want_trans:
-                rho = c["rho"]
-                modulus = 1.0 - rho * rho * (1.0 - cosi * cosi)
-                mod_ok = modulus > 0.0
-                inv_cosr, cosr = _masked_rsqrt(modulus, mod_ok)
-                mod_f = jnp.where(mod_ok, 1.0, 0.0)
-                coef = cosr + rho * cosi
-                tx = (rho * ux - coef * nx) * mod_f
-                ty = (rho * uy - coef * ny) * mod_f
-                tz = (rho * uz - coef * nz) * mod_f
                 take_t = c["take_t"]
-                nvx = jnp.where(take_t, tx, rx)
-                nvy = jnp.where(take_t, ty, ry)
-                nvz = jnp.where(take_t, tz, rz)
-                rec.update(mod_ok=mod_ok, mod_f=mod_f, inv_cosr=inv_cosr,
-                           coef=coef)
+                nv = tuple(jnp.where(take_t, t, r)
+                           for t, r in zip(t_dir, r_dir))
             else:
                 # no transmitting material (static): the chain always
                 # reflects — bit-identical to the gated selects above
-                nvx, nvy, nvz = rx, ry, rz
-            vx = jnp.where(hitm, nvx, 0.0)
-            vy = jnp.where(hitm, nvy, 0.0)
-            vz = jnp.where(hitm, nvz, 0.0)
-            ox, oy, oz = px, py, pz
+                nv = r_dir
+            v = tuple(jnp.where(hitm, nvi, 0.0) for nvi in nv)
+            o = p
         P.append(rec)
 
     # ---- hand-written reverse sweep ---------------------------------------
-    # Cotangents flow level depth -> 0; each masked select transposes to a
-    # masked cotangent, each guarded sqrt/div adjoint reuses the primal's
-    # reciprocal (self-masking: the stored inverses are already zero on dead
-    # lanes).  Parameter cotangents land in d_gath[lv] (13 planes, same
-    # layout as gath) and d_lp; the gather transpose below is unchanged.
+    # Cotangents flow level depth -> 0; the per-node math lives in
+    # _node_reverse (shared with the tree adjoint).  Parameter cotangents
+    # land in d_gath[lv] (13 planes, same layout as gath) and d_lp; the
+    # gather transpose below is unchanged.
     d_gath = [[full(0.0) for _ in range(13)] for _ in range(depth + 1)]
     d_lp = [[full(0.0) for _ in range(3)] for _ in range(nl)]
     pbx = pby = pbz = full(0.0)   # cotangent of p (= next level's o)
@@ -302,17 +536,12 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
     for lv in range(depth, -1, -1):
         c = consts[lv]
         rec = P[lv]
-        hitm, is_tri = c["hitm"], c["is_tri"]
-        ux, uy, uz = rec["ux"], rec["uy"], rec["uz"]
+        hitm = c["hitm"]
         nx, ny, nz = rec["nx"], rec["ny"], rec["nz"]
-        rx, ry, rz = rec["rx"], rec["ry"], rec["rz"]
-        cosi = rec["cosi"]
 
-        p_bx, p_by, p_bz = pbx, pby, pbz
-        u_bx = u_by = u_bz = full(0.0)
-        n_bx = n_by = n_bz = full(0.0)
-        r_bx = r_by = r_bz = full(0.0)
-        cosi_b = full(0.0)
+        zero3 = (full(0.0), full(0.0), full(0.0))
+        inflow = dict(p=(pbx, pby, pbz), u=zero3, n=zero3,
+                      r=zero3, cosi=full(0.0))
 
         # child-ray select (v_{lv+1} = where(hitm, nv, 0); nv = t or r)
         if lv < depth:
@@ -321,202 +550,21 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
             vmz = jnp.where(hitm, vbz, 0.0)
             if want_trans:
                 take_t = c["take_t"]
-                rho = c["rho"]
-                mod_f, coef = rec["mod_f"], rec["coef"]
-                t_bx = jnp.where(take_t, vmx, 0.0)
-                t_by = jnp.where(take_t, vmy, 0.0)
-                t_bz = jnp.where(take_t, vmz, 0.0)
-                r_bx += jnp.where(take_t, 0.0, vmx)
-                r_by += jnp.where(take_t, 0.0, vmy)
-                r_bz += jnp.where(take_t, 0.0, vmz)
-                # t = (rho*u - coef*n) * mod_f
-                rho_mf = rho * mod_f
-                u_bx += rho_mf * t_bx
-                u_by += rho_mf * t_by
-                u_bz += rho_mf * t_bz
-                cmf = coef * mod_f
-                n_bx -= cmf * t_bx
-                n_by -= cmf * t_by
-                n_bz -= cmf * t_bz
-                coef_b = -mod_f * (t_bx * nx + t_by * ny + t_bz * nz)
-                # coef = cosr + rho*cosi; cosr = safe_sqrt(modulus, mod_ok);
-                # modulus = 1 - rho^2 (1 - cosi^2)
-                cosi_b += rho * coef_b
-                mod_b = 0.5 * rec["inv_cosr"] * coef_b  # inv_cosr self-masks
-                cosi_b += mod_b * (2.0 * rho * rho) * cosi
+                t_b = (jnp.where(take_t, vmx, 0.0),
+                       jnp.where(take_t, vmy, 0.0),
+                       jnp.where(take_t, vmz, 0.0))
+                r_b = (jnp.where(take_t, 0.0, vmx),
+                       jnp.where(take_t, 0.0, vmy),
+                       jnp.where(take_t, 0.0, vmz))
+                u_b, n_b, cosi_b = _snell_reverse(c, rec, t_b)
+                inflow.update(u=u_b, n=n_b, r=r_b, cosi=cosi_b)
             else:
-                r_bx += vmx
-                r_by += vmy
-                r_bz += vmz
+                inflow.update(r=(vmx, vmy, vmz))
 
-        # shading: col_ch += thr_ch * wgt * (amb + ndots*dif + udotr*spe)
-        #          * lcol_ch, per light
         tr_, tg_, tb_ = thr[lv]
-        amb = gath[lv][4:7]
-        dif = gath[lv][7:10]
-        spe = gath[lv][10:13]
-        for li in range(nl):
-            svx, svy, svz, att, inv_sl, dot_ns, dot_ur = rec["lights"][li]
-            lr, lg, lb = lcol[li]
-            mask_w = jnp.logical_and(c["lits"][li], hitm)
-            wgt = jnp.where(mask_w, att, 0.0)
-            abs_ns = jnp.abs(dot_ns)
-            ndots = abs_ns * inv_sl
-            udotr = jnp.abs(dot_ur)
-            kr = tr_ * wgt * (lr * gr)
-            kg = tg_ * wgt * (lg * gg)
-            kb = tb_ * wgt * (lb * gb)
-            d_gath[lv][4] += kr
-            d_gath[lv][5] += kg
-            d_gath[lv][6] += kb
-            d_gath[lv][7] += kr * ndots
-            d_gath[lv][8] += kg * ndots
-            d_gath[lv][9] += kb * ndots
-            d_gath[lv][10] += kr * udotr
-            d_gath[lv][11] += kg * udotr
-            d_gath[lv][12] += kb * udotr
-            ndots_b = kr * dif[0] + kg * dif[1] + kb * dif[2]
-            udotr_b = kr * spe[0] + kg * spe[1] + kb * spe[2]
-            s_r = amb[0] + ndots * dif[0] + udotr * spe[0]
-            s_g = amb[1] + ndots * dif[1] + udotr * spe[1]
-            s_b = amb[2] + ndots * dif[2] + udotr * spe[2]
-            wgt_b = (tr_ * (lr * gr) * s_r + tg_ * (lg * gg) * s_g
-                     + tb_ * (lb * gb) * s_b)
-            att_b = jnp.where(mask_w, wgt_b, 0.0)
-            # att = A/(A+d2): d att/d d2 = -att^2/A
-            d2_b = att_b * att * att * (-1.0 / atten)
-            # udotr = |u.r|
-            dur_b = udotr_b * jnp.sign(dot_ur)
-            u_bx += dur_b * rx
-            u_by += dur_b * ry
-            u_bz += dur_b * rz
-            r_bx += dur_b * ux
-            r_by += dur_b * uy
-            r_bz += dur_b * uz
-            # ndots = |n.sv| * inv_sl; inv_sl = where(ok, d2^-1/2, 0)
-            dns_b = ndots_b * inv_sl * jnp.sign(dot_ns)
-            d2_b += ndots_b * abs_ns * (-0.5) * inv_sl * inv_sl * inv_sl
-            n_bx += dns_b * svx
-            n_by += dns_b * svy
-            n_bz += dns_b * svz
-            sv_bx = dns_b * nx + 2.0 * d2_b * svx
-            sv_by = dns_b * ny + 2.0 * d2_b * svy
-            sv_bz = dns_b * nz + 2.0 * d2_b * svz
-            # sv = lp - p
-            d_lp[li][0] += sv_bx
-            d_lp[li][1] += sv_by
-            d_lp[li][2] += sv_bz
-            p_bx -= sv_bx
-            p_by -= sv_by
-            p_bz -= sv_bz
-
-        # r = u - 2 cosi n
-        u_bx += r_bx
-        u_by += r_by
-        u_bz += r_bz
-        cosi_b -= 2.0 * (r_bx * nx + r_by * ny + r_bz * nz)
-        two_cosi = 2.0 * cosi
-        n_bx -= two_cosi * r_bx
-        n_by -= two_cosi * r_by
-        n_bz -= two_cosi * r_bz
-        # cosi = u.n
-        u_bx += cosi_b * nx
-        u_by += cosi_b * ny
-        u_bz += cosi_b * nz
-        n_bx += cosi_b * ux
-        n_by += cosi_b * uy
-        n_bz += cosi_b * uz
-
-        # n = where(hitm, where(is_tri, tn, d0 * inv_d0), 0)
-        m_sphn = jnp.logical_and(hitm, jnp.logical_not(is_tri))
-        ns_bx = jnp.where(m_sphn, n_bx, 0.0)
-        ns_by = jnp.where(m_sphn, n_by, 0.0)
-        ns_bz = jnp.where(m_sphn, n_bz, 0.0)
-        inv_d0 = rec["inv_d0"]
-        d0x, d0y, d0z = rec["d0x"], rec["d0y"], rec["d0z"]
-        invd0_b = ns_bx * d0x + ns_by * d0y + ns_bz * d0z
-        # inv_d0 = where(ok, d0sq^-1/2, 0): d/d d0sq = -inv_d0^3/2 (self-masked)
-        d0sq_b = (-0.5) * inv_d0 * inv_d0 * inv_d0 * invd0_b
-        two_d0sq_b = 2.0 * d0sq_b
-        d0_bx = inv_d0 * ns_bx + two_d0sq_b * d0x
-        d0_by = inv_d0 * ns_by + two_d0sq_b * d0y
-        d0_bz = inv_d0 * ns_bz + two_d0sq_b * d0z
-        # d0 = p - c
-        p_bx += d0_bx
-        p_by += d0_by
-        p_bz += d0_bz
-        c_bx = -d0_bx
-        c_by = -d0_by
-        c_bz = -d0_bz
-
-        # p = o + bd * u
-        o_bx, o_by, o_bz = p_bx, p_by, p_bz
-        bd_b = p_bx * ux + p_by * uy + p_bz * uz
-        bd = rec["bd"]
-        u_bx += bd * p_bx
-        u_by += bd * p_by
-        u_bz += bd * p_bz
-
-        # bd = where(hitm, where(is_tri, dist_tri, dist_sph), 0)
-        dt_b = jnp.where(jnp.logical_and(hitm, is_tri), bd_b, 0.0)
-        ds_b = jnp.where(m_sphn, bd_b, 0.0)
-
-        # dist_sph = ud - safe_sqrt(disc); disc = ud^2 - d.d + rr^2; ud = u.d
-        disc_b = jnp.where(rec["disc_ok"],
-                           (-0.5) * rec["inv_sq"] * ds_b, 0.0)
-        ud_b = ds_b + 2.0 * rec["ud"] * disc_b
-        dx, dy, dz = rec["dx"], rec["dy"], rec["dz"]
-        rr = gath[lv][3]
-        d_gath[lv][3] += 2.0 * rr * disc_b
-        neg2disc_b = -2.0 * disc_b
-        d_bx = neg2disc_b * dx + ud_b * ux
-        d_by = neg2disc_b * dy + ud_b * uy
-        d_bz = neg2disc_b * dz + ud_b * uz
-        u_bx += ud_b * dx
-        u_by += ud_b * dy
-        u_bz += ud_b * dz
-        # d = c - o
-        c_bx += d_bx
-        c_by += d_by
-        c_bz += d_bz
-        o_bx -= d_bx
-        o_by -= d_by
-        o_bz -= d_bz
-        d_gath[lv][0] += c_bx
-        d_gath[lv][1] += c_by
-        d_gath[lv][2] += c_bz
-
-        # dist_tri = m_par * vlen; m_par = safe_div(tnv0 - tn.o, ndv);
-        # ndv = tn.v; ndo = tn.o
-        tnx, tny, tnz = c["tn"]
-        m_b = dt_b * rec["vlen"]
-        vlen_b = dt_b * rec["m_par"]
-        inv_ndv = rec["inv_ndv"]
-        ndo_b = jnp.where(rec["ndv_ok"], -m_b * inv_ndv, 0.0)
-        ndv_b = -rec["m_par"] * inv_ndv * m_b   # m_par self-masks dead lanes
-        o_bx += ndo_b * tnx
-        o_by += ndo_b * tny
-        o_bz += ndo_b * tnz
-        v_bx = ndv_b * tnx
-        v_by = ndv_b * tny
-        v_bz = ndv_b * tnz
-
-        # u = v * ivl; ivl = where(ok, vlen2^-1/2, 0); vlen = vlen2 * ivl
-        ivl = rec["ivl"]
-        vx_, vy_, vz_ = rec["vx"], rec["vy"], rec["vz"]
-        v_bx += u_bx * ivl
-        v_by += u_by * ivl
-        v_bz += u_bz * ivl
-        ivl_b = u_bx * vx_ + u_by * vy_ + u_bz * vz_
-        vlen_b -= ivl * ivl * ivl_b             # d(1/vlen)/dvlen, self-masked
-        vlen2_b = 0.5 * vlen_b * ivl            # d sqrt/d vlen2, self-masked
-        two_vlen2_b = 2.0 * vlen2_b
-        v_bx += two_vlen2_b * vx_
-        v_by += two_vlen2_b * vy_
-        v_bz += two_vlen2_b * vz_
-
-        pbx, pby, pbz = o_bx, o_by, o_bz
-        vbx, vby, vbz = v_bx, v_by, v_bz
+        (pbx, pby, pbz), (vbx, vby, vbz) = _node_reverse(
+            c, rec, gath[lv], d_gath[lv], d_lp, lcol,
+            (tr_ * gr, tg_ * gg, tb_ * gb), atten, nl, inflow)
 
     # ---- gather transpose, hand-batched ----
     # Level-summed masked cotangent planes (elementwise), then ONE reduction
@@ -534,6 +582,165 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
              for j in range(m)]
     P_sph = [[lvsum(k, sph_m[i]) for k in range(4)] for i in range(ns)]
     P_mat = [[lvsum(4 + k, mat_m[j]) for k in range(9)] for j in range(m)]
+
+    def project(sphd, matd, lightd):
+        q = full(0.0)
+        for i in range(ns):
+            for k in range(4):
+                q = q + sphd[i, k] * P_sph[i][k]
+        for j in range(m):
+            for k in range(9):
+                q = q + matd[j, k] * P_mat[j][k]
+        for li in range(nl):
+            for k in range(3):
+                q = q + lightd[li, k] * d_lp[li][k]
+        return jnp.sum(q)
+
+    _, vjp_proj = jax.vjp(project, sphd_ref[...], matd_ref[...],
+                          lightd_ref[...])
+    return vjp_proj(jnp.float32(1.0))
+
+
+def _adjoint_tree_tile_body(tri_ref, mat_ref, light_ref,
+                            sphd_ref, matd_ref, lightd_ref,
+                            eye, vx0, vy0, vz0, bi_at, mid_at, lit_at,
+                            gr, gg, gb,
+                            *, ns: int, nt: int, m: int, nl: int, depth: int,
+                            atten: float, shape, fast_recip: bool = False):
+    """The replay adjoint of the full bounce *tree* for one tile
+    (fractional-transparency scenes — the literal ``rayTraceRay`` recursion,
+    MySdlApplication.cpp:1230-1248): given per-preorder-node residual
+    accessors (``bi_at(idx)``, ``mid_at(idx)``, ``lit_at(li, idx)`` with
+    idx over the 2^(depth+1)-1 preorder nodes, matching the tree forward's
+    static unroll order) and the L2 cotangent planes, returns the per-tile
+    gradient tables (dsph, dmat, dlight) for the FitParams leaves.
+
+    Structure: an interleaved primal/reverse recursion — each node runs its
+    primal sweep (shared ``_node_primal``), recurses into the transmitted
+    then reflected subtree, assembles the children's ray cotangents, and
+    reverses itself (shared ``_node_reverse``), so the live VMEM set is one
+    path of recs (depth+1), not all 2^(depth+1)-1.  Per-entity parameter
+    cotangents accumulate into ns*4 + m*9 + nl*3 running planes, folded per
+    node, and the final gather transpose is the same linear-projection vjp
+    as the chain body.
+
+    Node weighting (all constants under fixed topology — transparency is
+    not a fit parameter): node k's local shading reaches the image with
+    weight W_k = prod over ancestor edges of (branch mask x branch weight),
+    where the transmitted edge carries take_t*hitm x trn and the reflected
+    edge carries refl_ok*hitm x (1-trn) — exactly
+    kernels/adjoint.py::replay_render_tree's masks, whose autodiff this
+    body matches (parity asserted in tests/test_adjoint_tree.py)."""
+    f32 = jnp.float32
+
+    def full(x):
+        return jnp.full(shape, x, f32)
+
+    lcol = [(light_ref[li, 3], light_ref[li, 4], light_ref[li, 5])
+            for li in range(nl)]
+    lp = [[full(lightd_ref[li, 0]), full(lightd_ref[li, 1]),
+           full(lightd_ref[li, 2])] for li in range(nl)]
+
+    # global per-entity cotangent planes (folded per node — memory is
+    # independent of the node count)
+    P_sph = [[full(0.0) for _ in range(4)] for _ in range(ns)]
+    P_mat = [[full(0.0) for _ in range(9)] for _ in range(m)]
+    d_lp = [[full(0.0) for _ in range(3)] for _ in range(nl)]
+
+    counter = [0]  # next preorder node index (static during the unroll)
+
+    def node(o, v, W3, level):
+        idx = counter[0]
+        counter[0] += 1
+        bik = bi_at(idx)
+        midl = mid_at(idx)
+        hitm = bik >= 0.0
+        is_tri = bik < float(nt)
+
+        def tri_attr(i, c):
+            sel = bik == i.astype(f32)
+            return (jnp.where(sel, tri_ref[i, 3], c[0]),
+                    jnp.where(sel, tri_ref[i, 4], c[1]),
+                    jnp.where(sel, tri_ref[i, 5], c[2]),
+                    jnp.where(sel, tri_ref[i, 16], c[3]))
+
+        tnx, tny, tnz, tnv0 = jax.lax.fori_loop(
+            0, nt, tri_attr, (full(0.0),) * 4)
+
+        def mat_attr(j, c):
+            sel = midl == j.astype(f32)
+            # trn rgb, rho, take_trans (t_any & |T|>SMALL), refl_ok —
+            # the tree replay's branch gates (adjoint.py::_node_math)
+            return tuple(jnp.where(sel, mat_ref[j, k], c[q])
+                         for q, k in enumerate((9, 10, 11, 12, 13, 14)))
+
+        trn_r, trn_g, trn_b, rho, take_f_m, refl_f_m = jax.lax.fori_loop(
+            0, m, mat_attr, (full(0.0),) * 6)
+        lits = [lit_at(li, idx) > 0.5 for li in range(nl)]
+        c = dict(bik=bik, midl=midl, hitm=hitm, is_tri=is_tri,
+                 tn=(tnx, tny, tnz), tnv0=tnv0,
+                 trn=(trn_r, trn_g, trn_b), rho=rho, lits=lits)
+
+        sph_sel = [bik == float(nt + i) for i in range(ns)]
+        mat_sel = [midl == float(j) for j in range(m)]
+        cx, cy, cz, rr = full(0.0), full(0.0), full(0.0), full(0.0)
+        for i in range(ns):
+            s = sph_sel[i]
+            cx = jnp.where(s, sphd_ref[i, 0], cx)
+            cy = jnp.where(s, sphd_ref[i, 1], cy)
+            cz = jnp.where(s, sphd_ref[i, 2], cz)
+            rr = jnp.where(s, sphd_ref[i, 3], rr)
+        fields = [full(0.0) for _ in range(9)]
+        for j in range(m):
+            s = mat_sel[j]
+            for k in range(9):
+                fields[k] = jnp.where(s, matd_ref[j, k], fields[k])
+        gath_n = [cx, cy, cz, rr] + fields
+
+        want_snell = level < depth
+        rec, p, r_dir, t_dir = _node_primal(
+            c, gath_n, lp, o, v, nl=nl, atten=atten,
+            want_snell=want_snell, fast_recip=fast_recip)
+
+        zero3 = (full(0.0), full(0.0), full(0.0))
+        inflow = dict(p=zero3, u=zero3, n=zero3, r=zero3, cosi=full(0.0))
+        if level < depth:
+            take_mask = jnp.logical_and(take_f_m > 0.5, hitm)
+            refl_mask = jnp.logical_and(refl_f_m > 0.5, hitm)
+            tm_f = jnp.where(take_mask, 1.0, 0.0)
+            rm_f = jnp.where(refl_mask, 1.0, 0.0)
+            Wt = (W3[0] * trn_r * tm_f, W3[1] * trn_g * tm_f,
+                  W3[2] * trn_b * tm_f)
+            Wr = (W3[0] * (1.0 - trn_r) * rm_f, W3[1] * (1.0 - trn_g) * rm_f,
+                  W3[2] * (1.0 - trn_b) * rm_f)
+            vt = tuple(t * tm_f for t in t_dir)
+            vr = tuple(r * rm_f for r in r_dir)
+            ob_t, vb_t = node(p, vt, Wt, level + 1)   # transmitted subtree
+            ob_r, vb_r = node(p, vr, Wr, level + 1)   # reflected subtree
+            # child v = dir * mask -> dir_b = mask * child_v_b
+            t_b = tuple(tm_f * x for x in vb_t)
+            r_b = tuple(rm_f * x for x in vb_r)
+            u_b, n_b, cosi_b = _snell_reverse(c, rec, t_b)
+            p_in = tuple(a + b for a, b in zip(ob_t, ob_r))
+            inflow = dict(p=p_in, u=u_b, n=n_b, r=r_b, cosi=cosi_b)
+
+        d_gath_n = [full(0.0) for _ in range(13)]
+        G3 = (W3[0] * gr, W3[1] * gg, W3[2] * gb)
+        o_b, v_b = _node_reverse(c, rec, gath_n, d_gath_n, d_lp, lcol,
+                                 G3, atten, nl, inflow)
+
+        for i in range(ns):
+            mask = jnp.where(sph_sel[i], 1.0, 0.0)
+            for k in range(4):
+                P_sph[i][k] += mask * d_gath_n[k]
+        for j in range(m):
+            mask = jnp.where(mat_sel[j], 1.0, 0.0)
+            for k in range(9):
+                P_mat[j][k] += mask * d_gath_n[4 + k]
+        return o_b, v_b
+
+    node((full(eye[0]), full(eye[1]), full(eye[2])), (vx0, vy0, vz0),
+         (full(1.0), full(1.0), full(1.0)), 0)
 
     def project(sphd, matd, lightd):
         q = full(0.0)
@@ -602,18 +809,21 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                           small: float, atten: float,
                           white_id: int, black_id: int,
                           want_trans: bool, fast_recip: bool,
-                          g_scale: float):
+                          g_scale: float, tree: bool = False):
     """Single-kernel forward + L2 loss + replay adjoint (ROADMAP r2->3 #1):
-    the tile is rendered with the chain forward, the fixed-topology residual
-    planes stay in VMEM scratch, the per-pixel L2 cotangent
-    ``g = g_scale * mask * (img - target)`` is formed in place, and the
-    replay adjoint runs immediately — no residual HBM round-trip and one
-    dispatch instead of two.  ``mask`` zeroes padding pixels (image->block
-    padding and sharded row-band mesh padding alike), so ``loss_ref``
-    accumulates the raw masked squared-error sum (divide by the pixel count
-    outside).  Semantics identical to render_forward_with_residuals +
-    fit_grads_pallas."""
-    from .render_pallas import _chain_forward, _make_tile_ops
+    the tile is rendered with the chain forward (or, for fractional-
+    transparency scenes, the full bounce-tree forward, ``tree=True``), the
+    fixed-topology residual planes stay in VMEM scratch (per bounce level
+    for the chain, per preorder tree node for the tree), the per-pixel L2
+    cotangent ``g = g_scale * mask * (img - target)`` is formed in place,
+    and the matching replay adjoint runs immediately — no residual HBM
+    round-trip and one dispatch instead of two.  ``mask`` zeroes padding
+    pixels (image->block padding and sharded row-band mesh padding alike),
+    so ``loss_ref`` accumulates the raw masked squared-error sum (divide by
+    the pixel count outside).  Semantics identical to
+    render_forward_with_residuals + fit_grads_pallas."""
+    from .render_pallas import (_chain_forward, _make_tile_ops,
+                                _tree_forward)
     shape = vx_ref.shape
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
@@ -621,7 +831,8 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          fast_recip=fast_recip)
     eye = (misc_ref[0], misc_ref[1], misc_ref[2])
     vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
-    col_r, col_g, col_b = _chain_forward(
+    fwd = _tree_forward if tree else _chain_forward
+    col_r, col_g, col_b = fwd(
         ops, eye, vx0, vy0, vz0, nl=nl, depth=depth, want_trans=want_trans,
         res_refs=(bi_scr, mid_scr) + lit_scrs)
 
@@ -636,15 +847,26 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     dr, dg, db = dr_raw * mask, dg_raw * mask, db_raw * mask
     tile_loss = jnp.sum(dr * dr_raw + dg * dg_raw + db * db_raw)
 
-    dsph, dmat, dlight = _adjoint_tile_body(
-        tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
-        eye, vx0, vy0, vz0,
-        bi_at=lambda lv: bi_scr[lv],
-        mid_at=lambda lv: mid_scr[lv],
-        lit_at=lambda li, lv: lit_scrs[li][lv],
-        gr=g_scale * dr, gg=g_scale * dg, gb=g_scale * db,
-        ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
-        want_trans=want_trans, shape=shape, fast_recip=fast_recip)
+    if tree:
+        dsph, dmat, dlight = _adjoint_tree_tile_body(
+            tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
+            eye, vx0, vy0, vz0,
+            bi_at=lambda k: bi_scr[k],
+            mid_at=lambda k: mid_scr[k],
+            lit_at=lambda li, k: lit_scrs[li][k],
+            gr=g_scale * dr, gg=g_scale * dg, gb=g_scale * db,
+            ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
+            shape=shape, fast_recip=fast_recip)
+    else:
+        dsph, dmat, dlight = _adjoint_tile_body(
+            tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
+            eye, vx0, vy0, vz0,
+            bi_at=lambda lv: bi_scr[lv],
+            mid_at=lambda lv: mid_scr[lv],
+            lit_at=lambda li, lv: lit_scrs[li][lv],
+            gr=g_scale * dr, gg=g_scale * dg, gb=g_scale * db,
+            ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
+            want_trans=want_trans, shape=shape, fast_recip=fast_recip)
 
     # (1,1)-shaped stores: Mosaic VMEM cannot store bare scalars
     tile_loss = tile_loss[None, None]
@@ -659,6 +881,140 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
         loss_ref[...] += tile_loss
 
     _accumulate_grid(dsph, dmat, dlight, dsph_ref, dmat_ref, dlight_ref)
+
+
+def _recompute_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                          sphd_ref, matd_ref, lightd_ref,
+                          vx_ref, vy_ref, vz_ref,
+                          gr_ref, gg_ref, gb_ref,
+                          dsph_ref, dmat_ref, dlight_ref,
+                          bi_scr, mid_scr, *lit_scrs,
+                          ns: int, nt: int, m: int, nl: int, depth: int,
+                          small: float, atten: float,
+                          white_id: int, black_id: int,
+                          want_trans: bool, fast_recip: bool,
+                          tree: bool = False):
+    """Recompute-forward + replay-adjoint in one dispatch, with the
+    cotangent supplied externally (``gr/gg/gb`` planes) instead of derived
+    from a target in-kernel.  This is the per-sample backward of the
+    supersampled fit: the forward chain (or bounce tree, ``tree=True``)
+    re-traces the tile into VMEM scratch residuals (never HBM) and the
+    hand adjoint consumes them immediately.  The image the loss needs was
+    already produced by the plain forward kernel; re-tracing here costs one
+    forward but saves S x (2+nl) x levels full-image residual planes of HBM
+    traffic — the round-2 cliff (VERDICT r2 item 7)."""
+    from .render_pallas import (_chain_forward, _make_tile_ops,
+                                _tree_forward)
+    shape = vx_ref.shape
+    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
+                         atten=atten, white_id=white_id, black_id=black_id,
+                         fast_recip=fast_recip)
+    eye = (misc_ref[0], misc_ref[1], misc_ref[2])
+    vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
+    # forward re-trace (colors discarded; only the residual scratch matters)
+    fwd = _tree_forward if tree else _chain_forward
+    fwd(ops, eye, vx0, vy0, vz0, nl=nl, depth=depth, want_trans=want_trans,
+        res_refs=(bi_scr, mid_scr) + lit_scrs)
+    if tree:
+        dsph, dmat, dlight = _adjoint_tree_tile_body(
+            tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
+            eye, vx0, vy0, vz0,
+            bi_at=lambda k: bi_scr[k],
+            mid_at=lambda k: mid_scr[k],
+            lit_at=lambda li, k: lit_scrs[li][k],
+            gr=gr_ref[:], gg=gg_ref[:], gb=gb_ref[:],
+            ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
+            shape=shape, fast_recip=fast_recip)
+    else:
+        dsph, dmat, dlight = _adjoint_tile_body(
+            tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
+            eye, vx0, vy0, vz0,
+            bi_at=lambda lv: bi_scr[lv],
+            mid_at=lambda lv: mid_scr[lv],
+            lit_at=lambda li, lv: lit_scrs[li][lv],
+            gr=gr_ref[:], gg=gg_ref[:], gb=gb_ref[:],
+            ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
+            want_trans=want_trans, shape=shape, fast_recip=fast_recip)
+    _accumulate_grid(dsph, dmat, dlight, dsph_ref, dmat_ref, dlight_ref)
+
+
+def recompute_grads_pallas(scene: FlatScene, camera: Camera,
+                           config: RenderConfig, g,
+                           block_h: int = 32, block_w: int = 256,
+                           interpret: Optional[bool] = None,
+                           pts: Optional[Any] = None) -> Dict[str, Any]:
+    """Single-dispatch backward with an external cotangent ``g`` [H,W,3]:
+    re-traces the forward into VMEM scratch and runs the hand adjoint.
+    Returns compacted-scene gradient tables (layout = fit_grads_pallas).
+    Used by the supersampled fit path (one dispatch per sample, zero
+    residual HBM traffic).  Fractional-transparency scenes route to the
+    bounce-tree re-trace + in-kernel tree adjoint automatically."""
+    from .render_pallas import n_tree_nodes
+    tree = not scene.chain_exact
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scene = compact_scene(scene)
+    ns, m, nl = scene.num_spheres, scene.num_materials, scene.num_lights
+    w, h = config.width, config.height
+    depth = config.max_depth
+    levels = n_tree_nodes(depth) if tree else depth + 1
+
+    packed = pack_scene(scene)
+    packed["misc"] = packed["misc"].at[0:3].set(
+        camera.eye.astype(jnp.float32))
+    sphd, matd, lightd = _pack_diff_tables(scene)
+
+    if pts is None:
+        pts = screen_points(camera, w, h)
+    _, v = primary_rays(camera, pts)
+    vx = _pad_img(v[:, 0], h, w, block_h, block_w)
+    vy = _pad_img(v[:, 1], h, w, block_h, block_w)
+    vz = _pad_img(v[:, 2], h, w, block_h, block_w)
+    ph, pw = vx.shape
+
+    g = jnp.asarray(g, jnp.float32)
+    gr = _pad_img(g[..., 0].reshape(-1), h, w, block_h, block_w)
+    gg = _pad_img(g[..., 1].reshape(-1), h, w, block_h, block_w)
+    gb = _pad_img(g[..., 2].reshape(-1), h, w, block_h, block_w)
+
+    kernel = functools.partial(
+        _recompute_bwd_kernel, ns=ns, nt=packed["tri"].shape[0], m=m, nl=nl,
+        depth=depth, small=config.small_number,
+        atten=config.attenuation_factor,
+        white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
+        want_trans=bool(scene.has_transmission), fast_recip=not interpret,
+        tree=tree)
+    grid = (ph // block_h, pw // block_w)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((max(ns, 1), SPHD_COLS), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    acc_m = pl.BlockSpec((max(m, 1), MATD_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_l = pl.BlockSpec((max(nl, 1), LIGHTD_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    res_scr = pltpu.VMEM((levels, block_h, block_w), jnp.float32)
+
+    dsph, dmat, dlight = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem] * 5 + [vfull] * 3 + [tile] * 6,
+        out_specs=[acc, acc_m, acc_l],
+        out_shape=[jax.ShapeDtypeStruct((max(ns, 1), SPHD_COLS), jnp.float32),
+                   jax.ShapeDtypeStruct((max(m, 1), MATD_COLS), jnp.float32),
+                   jax.ShapeDtypeStruct((max(nl, 1), LIGHTD_COLS),
+                                        jnp.float32)],
+        scratch_shapes=[res_scr] * (2 + nl),
+        interpret=interpret,
+    )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
+      packed["misc"], sphd, matd, lightd, vx, vy, vz, gr, gg, gb)
+
+    return dict(sph_center=dsph[:ns, 0:3], sph_radius=dsph[:ns, 3],
+                mat_ambient=dmat[:m, 0:3], mat_diffuse=dmat[:m, 3:6],
+                mat_specular=dmat[:m, 6:9], light_pos=dlight[:nl, 0:3])
 
 
 def _pad_tile3(x, h, w, block_h, block_w, fill):
@@ -784,22 +1140,25 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
     ``denom``: the loss normalizer (default ``H*W*3``) — the cotangent is
     ``(2/denom) * mask * (img - target)``.
 
+    Fractional-transparency scenes (not chain-exact) route automatically to
+    the bounce-tree variant: tree forward + in-kernel tree adjoint, with
+    2^(depth+1)-1 preorder-node residual planes in VMEM scratch (cost grows
+    as 2^depth, like the tree forward itself).
+
     Numerical note: the scalar loss accumulates tile-by-tile into one f32
     VMEM cell across the sequential grid; at very large grids (4096^2 ->
     thousands of tiles) this sequential f32 sum can drift a few ulps from
     the XLA tree reduction of the two-phase path.  Gradients are unaffected
     (per-entity table sums), and Adam only consumes the gradients."""
-    if not scene.chain_exact:
-        raise ValueError(
-            "the fused fwd+bwd kernel replays the bounce *chain*; "
-            "fractional-transparency scenes take the XLA tree replay "
-            "(kernels/adjoint.py::l2_loss_pallas)")
+    from .render_pallas import n_tree_nodes
+    tree = not scene.chain_exact
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scene = compact_scene(scene)
     ns, m, nl = scene.num_spheres, scene.num_materials, scene.num_lights
     w, h = config.width, config.height
     depth = config.max_depth
+    levels = n_tree_nodes(depth) if tree else depth + 1
     if denom is None:
         denom = float(h * w * 3)
 
@@ -831,7 +1190,7 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
         atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
         want_trans=bool(scene.has_transmission), fast_recip=not interpret,
-        g_scale=2.0 / denom)
+        g_scale=2.0 / denom, tree=tree)
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -845,7 +1204,7 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
                          memory_space=pltpu.VMEM)
     acc_l = pl.BlockSpec((max(nl, 1), LIGHTD_COLS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM)
-    res_scr = pltpu.VMEM((depth + 1, block_h, block_w), jnp.float32)
+    res_scr = pltpu.VMEM((levels, block_h, block_w), jnp.float32)
 
     loss_sum, dsph, dmat, dlight = pl.pallas_call(
         kernel,
@@ -913,9 +1272,12 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
     Supersampled targets (``config.samples > 1`` / ``force_jitter``) are
     supported: the rendered image is the mean of S jittered single-sample
     kernel renders (same PRNG stream as the core renderer, so targets
-    rendered by either forward match), each sample keeping its own
-    fixed-topology residuals; the backward runs the in-kernel adjoint once
-    per sample with cotangent g/S and sums.  ``config.adaptive`` is
+    rendered by either forward match); the backward then runs one
+    recompute-adjoint dispatch per sample (``recompute_grads_pallas``:
+    the forward chain is re-traced into VMEM scratch inside the backward
+    kernel, so no residual plane ever touches HBM — round 2 materialized
+    all S residual sets, ~S x (2+nl) x (depth+1) full-image planes) with
+    cotangent g/S, summing the gradient tables.  ``config.adaptive`` is
     rejected: the adaptive divisor is data-dependent and has no defined
     fixed-topology adjoint (use the XLA core path for that).
 
@@ -929,9 +1291,12 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
     use_jitter = config.samples > 1 or config.force_jitter
     if not use_jitter:
         denom = float(config.height * config.width * 3)
-        if single_kernel and scene_full.chain_exact:
+        if single_kernel or not scene_full.chain_exact:
             # one dispatch: forward + loss + replay adjoint, residual planes
-            # in VMEM scratch (never in HBM)
+            # in VMEM scratch (never in HBM).  Fractional-transparency
+            # scenes always take this path — the fused kernel routes them
+            # to the in-kernel bounce-tree forward + tree adjoint (the
+            # two-phase fit_grads_pallas below is chain-only).
             sq_sum, grads_c = fused_loss_grads_pallas(
                 scene_full, camera, config, target, denom=denom,
                 block_h=block_h, block_w=block_w, interpret=interpret)
@@ -960,28 +1325,29 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
     pts0 = screen_points(camera, config.width, config.height)
     h, w = config.height, config.width
 
+    from .render_pallas import render_image_pallas
+
     def fwd_body(carry, k):
         jit = sample_jitter(k, pts0.shape[0], config.jitter_scale,
                             dtype=pts0.dtype)
-        img_s, res_s = render_forward_with_residuals(
-            scene_full, camera, cfg1, block_h=block_h, block_w=block_w,
-            interpret=interpret, pts=pts0 + jit)
-        return carry + img_s, res_s
+        img_s = render_image_pallas(scene_full, camera, cfg1,
+                                    block_h=block_h, block_w=block_w,
+                                    interpret=interpret, pts=pts0 + jit)
+        return carry + img_s, None
 
-    img_sum, res_all = jax.lax.scan(
+    img_sum, _ = jax.lax.scan(
         fwd_body, jnp.zeros((h, w, 3), jnp.float32), keys)
     img = img_sum / S
     diff = img - target
     loss = jnp.mean(diff * diff)
     g = (2.0 / (diff.size * S)) * diff
 
-    def bwd_body(carry, inp):
-        k, res_s = inp
+    def bwd_body(carry, k):
         jit = sample_jitter(k, pts0.shape[0], config.jitter_scale,
                             dtype=pts0.dtype)
-        grads_s = fit_grads_pallas(scene_full, camera, cfg1, res_s, g,
-                                   block_h=block_h, block_w=block_w,
-                                   interpret=interpret, pts=pts0 + jit)
+        grads_s = recompute_grads_pallas(scene_full, camera, cfg1, g,
+                                         block_h=block_h, block_w=block_w,
+                                         interpret=interpret, pts=pts0 + jit)
         return jax.tree_util.tree_map(jnp.add, carry, grads_s), None
 
     sc = compact_scene(scene_full)
@@ -992,5 +1358,5 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                  mat_diffuse=jnp.zeros((m_c, 3), jnp.float32),
                  mat_specular=jnp.zeros((m_c, 3), jnp.float32),
                  light_pos=jnp.zeros((nl_c, 3), jnp.float32))
-    grads_c, _ = jax.lax.scan(bwd_body, zeros, (keys, res_all))
+    grads_c, _ = jax.lax.scan(bwd_body, zeros, keys)
     return loss, grads_to_fitparams(params, scene_full, grads_c)

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from ..ops.rays import Camera, primary_rays, sample_jitter, screen_points
 from ..scene.flat import FlatScene, tri_derived
+from ..utils import fastmath
 
 BIG = 3.0e38
 
@@ -160,10 +161,7 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
     def _recip(den):
         """den is pre-guarded nonzero.  Mosaic's f32 divide is multi-slot;
         the HW reciprocal + one Newton step is ~1-ulp and much cheaper."""
-        if not fast_recip:
-            return 1.0 / den
-        r = pl.reciprocal(den, approx=True)
-        return r * (2.0 - den * r)
+        return fastmath.recip(den, fast_recip)
 
     def intersect_all(ox, oy, oz, vx, vy, vz, excl, ray_ok,
                       carry_transp=False):
@@ -459,36 +457,22 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     b_ref[:] = col_b
 
 
-def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
-                             vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
-                             *res_refs,
-                             ns: int, nt: int, m: int, nl: int, depth: int,
-                             small: float, atten: float,
-                             white_id: int, black_id: int,
-                             with_residuals: bool = False,
-                             want_trans: bool = True,
-                             fast_recip: bool = True):
-    """Full binary bounce *tree* in one kernel — the literal ``rayTraceRay``
-    recursion (MySdlApplication.cpp:1230-1248): at every hit a transmitted
-    child weighted by the material transparency T AND a reflected child
-    weighted by the opacity 1-T.  Needed for fractional-transparency scenes
-    where the single-path chain kernel is inexact.
-
-    The recursion is unrolled statically in preorder (2^(depth+1)-1 node
-    visits); per-node state lives in VMEM planes, so the only memory cost is
-    ~11 live planes per recursion level.  Matches core/renderer.py's
-    ``render_rays_tree`` semantics exactly.
-
-    ``with_residuals``: emit per-node bi/mid (and per-light lit) planes in
-    preorder — the fixed-topology residuals of the tree replay adjoint
-    (kernels/adjoint.py::replay_render_tree)."""
-    shape = vx_ref.shape
-    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
-                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
-                         atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip)
+def _tree_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
+                  want_trans: bool, res_refs=()):
+    """Full binary bounce *tree* — the literal ``rayTraceRay`` recursion
+    (MySdlApplication.cpp:1230-1248): at every hit a transmitted child
+    weighted by the material transparency T AND a reflected child weighted
+    by the opacity 1-T, unrolled statically in preorder (2^(depth+1)-1 node
+    visits).  Returns the accumulated (col_r, col_g, col_b).  When
+    ``res_refs`` is given (bi, mid, lit_0.. refs of shape [K, BH, BW] with
+    K preorder nodes — output refs of the residual forward or VMEM scratch
+    of the fused tree fwd+bwd kernel) the fixed-topology residuals are
+    written per preorder node, the indexing the tree replay adjoint
+    consumes (kernels/adjoint.py::replay_render_tree and the in-kernel
+    adjoint_fused tree body)."""
     full = ops.full
-    eye_x, eye_y, eye_z = misc_ref[0], misc_ref[1], misc_ref[2]
+    with_residuals = bool(res_refs)
+    eye_x, eye_y, eye_z = eye
     preorder = [0]  # next preorder node index (static during the unroll)
 
     def node(ox, oy, oz, vx, vy, vz, thr_r, thr_g, thr_b, excl, alive_f,
@@ -536,11 +520,34 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                    thr_b * (1.0 - trn_b) * refl_f, bi, hit_f, level + 1, col)
         return col
 
-    col = node(full(eye_x), full(eye_y), full(eye_z),
-               vx_ref[:], vy_ref[:], vz_ref[:],
-               full(1.0), full(1.0), full(1.0),
-               full(-1.0), full(1.0), 0,
-               (full(0.0), full(0.0), full(0.0)))
+    return node(full(eye_x), full(eye_y), full(eye_z),
+                vx0, vy0, vz0,
+                full(1.0), full(1.0), full(1.0),
+                full(-1.0), full(1.0), 0,
+                (full(0.0), full(0.0), full(0.0)))
+
+
+def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                             vx_ref, vy_ref, vz_ref, r_ref, g_ref, b_ref,
+                             *res_refs,
+                             ns: int, nt: int, m: int, nl: int, depth: int,
+                             small: float, atten: float,
+                             white_id: int, black_id: int,
+                             with_residuals: bool = False,
+                             want_trans: bool = True,
+                             fast_recip: bool = True):
+    """Tree-forward tile kernel (fractional-transparency scenes; chain-exact
+    scenes take _render_tile_kernel).  Matches core/renderer.py's
+    ``render_rays_tree`` semantics exactly."""
+    shape = vx_ref.shape
+    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
+                         atten=atten, white_id=white_id, black_id=black_id,
+                         fast_recip=fast_recip)
+    col = _tree_forward(ops, (misc_ref[0], misc_ref[1], misc_ref[2]),
+                        vx_ref[:], vy_ref[:], vz_ref[:], nl=nl, depth=depth,
+                        want_trans=want_trans,
+                        res_refs=res_refs if with_residuals else ())
     r_ref[:] = col[0]
     g_ref[:] = col[1]
     b_ref[:] = col[2]

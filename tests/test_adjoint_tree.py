@@ -108,11 +108,63 @@ def test_tree_l2_fit_descends(setup):
     assert np.isfinite(losses).all()
 
 
-def test_fused_adjoint_rejects_tree_scene(setup):
+def test_fused_tree_adjoint_matches_xla_replay(setup):
+    """The in-kernel tree adjoint — single-dispatch fused fwd+loss+bwd with
+    preorder-node residuals in VMEM scratch — equals jax.value_and_grad of
+    the XLA tree replay on a fractional-transparency scene (VERDICT r2
+    item 5: the ``chain_exact`` guard is gone)."""
+    from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
+        fit_value_and_grad)
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        render_image_pallas)
+    scene, cam, cfg = setup
+    target = render_image_pallas(scene, cam, cfg, **BLOCKS)
+    params = FitParams.from_scene(scene).replace(
+        mat_diffuse=scene.mat_diffuse * 1.3 + 0.02,
+        sph_center=scene.sph_center + 0.6)
+
+    loss_f, g_f = fit_value_and_grad(params, scene, cam, cfg, target,
+                                     **BLOCKS)
+    loss_x, g_x = jax.value_and_grad(l2_loss_pallas)(
+        params, scene, cam, cfg, target)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_x), rtol=1e-5)
+    # Sphere-gradient tolerance is wider than the others: the kernel body
+    # computes 1/|v| and sqrt via one rsqrt (ivl, vlen = x*rsqrt(x)) where
+    # the XLA replay uses safe_div(1, safe_sqrt(x)) — a systematic sub-ulp
+    # bias (~1e-5 relative per pixel, verified by per-pixel cotangent
+    # decomposition) that accumulates coherently across the glass sphere's
+    # pixels while the summed gradient itself suffers heavy cancellation
+    # (single pixels contribute +-5e-5 to a 2.4e-5 total).
+    for fname, tol in [("sph_center", 1e-2), ("sph_radius", 1e-2),
+                       ("light_pos", 2e-4), ("mat_diffuse", 2e-4),
+                       ("mat_specular", 2e-4), ("mat_ambient", 2e-4)]:
+        r = _rel(getattr(g_x, fname), getattr(g_f, fname))
+        assert r < tol, f"{fname}: rel diff {r:.3g}"
+        assert np.abs(np.asarray(getattr(g_f, fname))).max() > 0
+
+
+def test_fused_tree_adjoint_supersampled_matches_core(setup):
+    """Supersampled fractional-transparency fit: the per-sample recompute
+    tree adjoint (tree re-trace into VMEM scratch + in-kernel tree adjoint,
+    one dispatch per sample) matches jax.grad of the supersampled core tree
+    loss — same jitter PRNG stream, so only decision-boundary pixels can
+    differ (same tolerances as the chain test in test_pallas_features.py)."""
+    import dataclasses
+
     from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
         fit_value_and_grad)
     scene, cam, cfg = setup
+    cfg_s = dataclasses.replace(cfg, samples=2)
+    target = render_image(scene, cam, cfg_s) * 0.9  # nonzero cotangent
     params = FitParams.from_scene(scene)
-    target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
-    with pytest.raises(ValueError, match="chain"):
-        fit_value_and_grad(params, scene, cam, cfg, target, **BLOCKS)
+
+    loss_f, g_f = fit_value_and_grad(params, scene, cam, cfg_s, target,
+                                     **BLOCKS)
+    loss_c, g_c = jax.value_and_grad(l2_loss)(params, scene, cam, cfg_s,
+                                              target)
+    assert float(loss_f) == pytest.approx(float(loss_c), rel=5e-3)
+    for fname, tol in [("sph_center", 1e-2), ("mat_diffuse", 3e-2),
+                       ("light_pos", 3e-2)]:
+        r = _rel(getattr(g_c, fname), getattr(g_f, fname))
+        assert r < tol, f"{fname}: rel diff {r:.3g}"
