@@ -130,8 +130,7 @@ def main() -> None:
     sol = {}
     if backend == "pallas" and jax.default_backend() == "tpu":
         from ray_tracer_fragment_shader_tpu.utils.roofline import sol_report
-        rep = sol_report(scene, depth=depth, nl=scene.num_lights,
-                         pixels=size * size,
+        rep = sol_report(scene, config, pixels=size * size,
                          fwd_s=dt if forward_only else None,
                          fwd_bwd_s=None if forward_only else dt)
         key = "sol_fraction_fwd" if forward_only else "sol_fraction_fwd_bwd"

@@ -8,22 +8,33 @@ planes in and RGB planes out: ~24 B/pixel against >9,000 ops/pixel, so the
 kernel is compute-bound by 3 orders of magnitude).  Speed of light is
 therefore the VPU issue rate:
 
-    SOL step time = (ops per pixel) * pixels / (measured VPU ops/s)
+    SOL step time = (slots per pixel) * pixels / (measured VPU slots/s)
     sol_fraction  = SOL step time / measured step time
 
-``count_forward_ops`` is an exact static count of the chain kernel's per-
-pixel VPU ops (kernels/render_pallas.py, audited per line); the backward
-count is const-prep (exact) plus the replay closure ops times a reverse-mode
-factor of 3 (one forward re-trace plus ~2x for the adjoint arithmetic — the
-standard estimate; jax.vjp emits the reverse program inside the kernel).
-``measure_vpu_ops_per_s`` measures the denominator empirically on the
-running chip with a synthetic Pallas kernel (dependent op chains over a full
-tile: 64+ vector registers in flight, so the measurement is throughput, not
-latency).
+Every number in the model is derived or measured, nothing is estimated:
+
+  * per-pixel op counts come from the kernels' own jaxprs
+    (utils/opcount.py — DCE'd trace of the actual tile bodies, fori_loops
+    multiplied by trip count; round 2's hand-audited tables and the
+    backward's ``VJP_FACTOR=3`` guess are gone, obsoleted by the
+    hand-written adjoint which made the backward a plain traceable
+    function);
+  * per-op-class slot costs are measured on the chip by the committed
+    probe ``scripts/vpu_op_probe.py`` (injection differencing) and loaded
+    from its artifact ``artifacts/roofline/op_weights.json``; the defaults
+    below are that probe's results on TPU v5e;
+  * the VPU issue rate is measured by ``measure_vpu_ops_per_s`` (dependent
+    register-resident chains, iteration-count-differenced timing).
+
+The flat model (every op = 1 slot) is reported alongside as a lower bound.
+``scripts/roofline_validate.py`` checks the model against measured step
+times across depth/scene/resolution sweeps (PERF.md "model vs measured").
 """
 from __future__ import annotations
 
 import functools
+import json
+import os
 import time
 from typing import Dict
 
@@ -32,105 +43,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .opcount import kernel_op_counts
 
-# ---------------------------------------------------------------------------
-# Static op counts, split by op class (scalar-only SMEM arithmetic is free).
-# Each table row is keyed to the kernel code it counts.  Class costs in VPU
-# issue slots were measured on v5e with dependent-chain microbenchmarks
-# (scripts/README in PERF.md): cheap arithmetic ~1 slot; select ~2.5; abs
-# ~1.5; approx-recip+Newton ~5; rsqrt ~8; sqrt/divide ~10; trunc ~4; mod ~10
-# (mod lowers to divide+trunc+mul+sub).  The flat model (every op = 1 slot)
-# is reported alongside as a lower bound.
-# ---------------------------------------------------------------------------
+# Defaults = scripts/vpu_op_probe.py results on TPU v5 lite (see
+# artifacts/roofline/op_weights.json for the committed raw measurement).
+OP_WEIGHTS_DEFAULT = dict(basic=1.0, cmp=1.0, select=2.5, abs=1.5,
+                          sign=2.0, recip_nr=5.0, rsqrt=8.0, sqrt=10.0,
+                          div=10.0, floor=1.0)
 
-OP_WEIGHTS = dict(basic=1.0, cmp=1.0, select=2.5, abs=1.5, recip_nr=5.0,
-                  rsqrt=8.0, sqrt=10.0, div=10.0, trunc=4.0, mod=10.0)
-
-# op-class vectors: {class: count}
-# intersect_all (kernels/render_pallas.py::_make_tile_ops.intersect_all)
-SWEEP_PROLOGUE = dict(basic=9, cmp=1, select=1, rsqrt=1)
-PER_TRI = dict(basic=42, cmp=9, select=6, abs=1, recip_nr=1)
-                          # ndv/ndo/pxyz/wu/wv/sb/tb + hit gates + blends
-PER_SPH = dict(basic=26, cmp=5, select=5, sqrt=1)
-
-# hit_attrs: per-primitive mask-blend loops + point/normal/checker epilogue
-# (checker parity is mod-free: scalar recip + mul + 3 truncs + cmp)
-ATTR_PER_PRIM = dict(cmp=1, select=5)
-ATTR_EPILOGUE = dict(basic=27, cmp=4, select=12, rsqrt=1, trunc=3)
-
-PER_MAT = dict(cmp=1, select=15)          # mat_attrs
-SECONDARY = dict(basic=29, cmp=1, select=3, sqrt=1)
-SECONDARY_NOTRANS = dict(basic=12)        # Snell statically gated off
-SHADE_PER_LIGHT = dict(basic=46, cmp=3, select=2, abs=2, rsqrt=1, div=1)
-CHILD_SELECT = dict(basic=13, cmp=3, select=8)
-
-# backward (kernels/adjoint_fused.py::_bwd_tile_kernel), flat counts
-OPS_BWD_CONST_TRI = 5     # per level per triangle: tri_attr blend
-OPS_BWD_CONST_MAT = 6     # per level per material: mat_attr blend
-OPS_BWD_CONST_MISC = 30   # thr chain + lit unpack per level
-OPS_REPLAY_PER_SPH = 5    # sphere table blend inside the replay closure
-OPS_REPLAY_PER_MAT = 10   # 9-field material blend inside the replay closure
-OPS_REPLAY_LEVEL = 150    # fixed per-level replay math (dist/point/normal/
-                          # secondary) — audited from the replay closure
-OPS_REPLAY_PER_LIGHT = 55 # same shading arithmetic as the forward
-VJP_FACTOR = 3.0          # fwd re-trace + ~2x reverse arithmetic
+_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "..", "..",
+                             "artifacts", "roofline", "op_weights.json")
 
 
-def _cost(vec: Dict[str, float], weighted: bool) -> float:
-    if not weighted:
-        return float(sum(vec.values()))
-    return float(sum(OP_WEIGHTS[k] * v for k, v in vec.items()))
+@functools.lru_cache(maxsize=1)
+def load_op_weights() -> Dict[str, float]:
+    """Measured per-class slot costs: the committed probe artifact if
+    present, else the defaults (same probe, run on TPU v5e)."""
+    try:
+        with open(_WEIGHTS_PATH) as fh:
+            data = json.load(fh)
+        return {**OP_WEIGHTS_DEFAULT, **data["weights"]}
+    except (OSError, KeyError, ValueError):
+        return dict(OP_WEIGHTS_DEFAULT)
 
 
-def count_forward_ops(ns: int, nt: int, m: int, nl: int, depth: int,
-                      weighted: bool = False,
-                      want_trans: bool = False) -> float:
-    """Per-pixel VPU slot count of the chain forward kernel.
-
-    ``weighted=False``: every op = 1 slot (lower bound).  ``weighted=True``:
-    measured per-class slot costs (OP_WEIGHTS) — the honest roofline.
-    ``want_trans``: whether the scene has transmitting materials (the
-    kernel statically skips Snell otherwise)."""
-    c = lambda vec: _cost(vec, weighted)
-    sweep = c(SWEEP_PROLOGUE) + nt * c(PER_TRI) + ns * c(PER_SPH)
-    secondary = c(SECONDARY if want_trans else SECONDARY_NOTRANS)
-    per_level = (sweep                                   # primary closest-hit
-                 + (nt + ns) * c(ATTR_PER_PRIM) + c(ATTR_EPILOGUE)
-                 + m * c(PER_MAT)
-                 + secondary
-                 + nl * (sweep + c(SHADE_PER_LIGHT))     # shadow sweeps
-                 + c(CHILD_SELECT))
-    return (depth + 1) * per_level
+def weighted_slots(counts: Dict[str, float],
+                   weights: Dict[str, float] = None) -> float:
+    """Sum of per-class counts priced at the measured slot costs.  Unknown
+    classes (``other:*`` from the counter) price at 1 slot."""
+    if weights is None:
+        weights = load_op_weights()
+    return float(sum(weights.get(k, 1.0) * v for k, v in counts.items()))
 
 
-def count_backward_ops(ns: int, nt: int, m: int, nl: int, depth: int,
-                       weighted: bool = False,
-                       want_trans: bool = False) -> float:
-    """Estimated per-pixel VPU slot count of the fused backward kernel.
-    The weighted variant scales the flat count by the forward model's
-    weighted/flat ratio (the two kernels share the same op mix)."""
-    levels = depth + 1
-    const_prep = levels * (nt * OPS_BWD_CONST_TRI + m * OPS_BWD_CONST_MAT
-                           + OPS_BWD_CONST_MISC)
-    replay_level = OPS_REPLAY_LEVEL - (0 if want_trans else 19)  # Snell gate
-    replay = levels * (ns * OPS_REPLAY_PER_SPH + m * OPS_REPLAY_PER_MAT
-                       + replay_level + nl * OPS_REPLAY_PER_LIGHT)
-    flat = const_prep + VJP_FACTOR * replay
-    if not weighted:
-        return flat
-    ratio = (count_forward_ops(ns, nt, m, nl, depth, weighted=True,
-                               want_trans=want_trans)
-             / count_forward_ops(ns, nt, m, nl, depth, weighted=False,
-                                 want_trans=want_trans))
-    return flat * ratio
-
-
-def scene_dims(scene) -> Dict[str, int]:
-    """(ns, nt, m, nl) as the kernel sees them (padding compacted)."""
-    import numpy as np
-    return dict(ns=int(np.asarray(scene.sph_valid).sum()),
-                nt=int(np.asarray(scene.tri_valid).sum()),
-                m=scene.num_materials, nl=scene.num_lights)
+def flat_slots(counts: Dict[str, float]) -> float:
+    return float(sum(counts.values()))
 
 
 # ---------------------------------------------------------------------------
@@ -198,29 +145,30 @@ def measure_vpu_ops_per_s(block_h: int = 32, block_w: int = 256,
     return x.size * _CHAIN_OPS * n_chains * iters / med
 
 
-def sol_report(scene, depth: int, nl: int, pixels: int,
+def sol_report(scene, config, pixels: int,
                fwd_s: float = None, fwd_bwd_s: float = None,
                vpu_ops_per_s: float = None) -> Dict[str, float]:
     """Roofline summary for a measured step time.
 
-    Returns per-pixel slot counts (weighted = measured op-class costs,
-    flat = 1 slot/op lower bound), the measured VPU rate, the
+    Returns per-pixel slot counts (weighted = probe-measured op-class
+    costs, flat = 1 slot/op lower bound), the measured VPU rate, the
     speed-of-light step times and the achieved ``sol_fraction``s (the
     primary fractions use the weighted model; ``*_flat`` are the
-    conservative lower bounds)."""
-    dims = scene_dims(scene)
-    dims["nl"] = nl
-    dims["want_trans"] = bool(scene.has_transmission)
-    f_w = count_forward_ops(depth=depth, weighted=True, **dims)
-    b_w = count_backward_ops(depth=depth, weighted=True, **dims)
-    f_f = count_forward_ops(depth=depth, weighted=False, **dims)
-    b_f = count_backward_ops(depth=depth, weighted=False, **dims)
+    conservative lower bounds).  The forward count is the chain forward
+    kernel; the backward count is the fused L2-epilogue + hand-written
+    replay adjoint, so fwd+bwd models the single-dispatch fused kernel
+    exactly (the two-phase path differs only by residual HBM traffic)."""
+    fwd_c, bwd_c = kernel_op_counts(scene, config)
+    f_w, b_w = weighted_slots(fwd_c), weighted_slots(bwd_c)
+    f_f, b_f = flat_slots(fwd_c), flat_slots(bwd_c)
     if vpu_ops_per_s is None:
         vpu_ops_per_s = measure_vpu_ops_per_s()
-    out = dict(ops_per_pixel_fwd=f_f, ops_per_pixel_bwd=b_f,
+    out = dict(ops_per_pixel_fwd=round(f_f, 1),
+               ops_per_pixel_bwd=round(b_f, 1),
                slots_per_pixel_fwd=round(f_w, 1),
                slots_per_pixel_bwd=round(b_w, 1),
-               vpu_ops_per_s=vpu_ops_per_s, **dims)
+               vpu_ops_per_s=vpu_ops_per_s,
+               counts_fwd=fwd_c, counts_bwd=bwd_c)
     if fwd_s is not None:
         sol = f_w * pixels / vpu_ops_per_s
         out["sol_fwd_s"] = sol

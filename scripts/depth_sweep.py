@@ -41,6 +41,32 @@ def time_render(scene, camera, config, iters=32, reps=3):
     return timing["warmup_s"], max(timing["dt"], 1e-9)
 
 
+def time_fused_fwd_bwd(scene, camera, config, iters=32, reps=3):
+    """Compile + step time of the single-dispatch fused fwd+loss+bwd kernel
+    (VERDICT r2 item 6: the depth-5 compile proof must cover the fused
+    kernel, not just the forward)."""
+    from ray_tracer_fragment_shader_tpu.diff.fit import FitParams
+    from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
+        fit_value_and_grad)
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        render_image_pallas)
+    from ray_tracer_fragment_shader_tpu.utils.timing import (
+        scan_diff_median, scan_runner)
+
+    target = jax.jit(lambda s: render_image_pallas(s, camera, config))(scene)
+    jax.block_until_ready(target)
+    params0 = FitParams.from_scene(scene)
+
+    def one_iter(accum, eps):
+        p = params0.replace(sph_center=params0.sph_center + eps)
+        loss, grads = fit_value_and_grad(p, scene, camera, config, target)
+        return accum + loss + jnp.mean(grads.sph_radius), None
+
+    run_1, run_n = scan_runner(one_iter, iters)
+    timing = scan_diff_median(run_1, run_n, iters, reps=reps)
+    return timing["warmup_s"], max(timing["dt"], 1e-9)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
@@ -65,6 +91,20 @@ def main():
         compile_s, dt = time_render(scene, cam, cfg)
         rays = args.size * args.size / dt
         rows.append(dict(kernel="chain", depth=depth, size=args.size,
+                         compile_s=round(compile_s, 1),
+                         step_ms=round(dt * 1e3, 2),
+                         mrays_per_s=round(rays / 1e6, 1)))
+        print(json.dumps(rows[-1]), flush=True)
+
+    # fused single-dispatch fwd+loss+bwd at depths 2/3/5 (reference
+    # MAX_DEPTH=5, Hw4/MySdlApplication.cpp:48)
+    for depth in (2, 3, 5):
+        scene, camcfg, cfg = presets.full_reflective(size=args.size,
+                                                     depth=depth)
+        cam = Camera.from_config(camcfg, cfg.width, cfg.height)
+        compile_s, dt = time_fused_fwd_bwd(scene, cam, cfg)
+        rays = args.size * args.size / dt
+        rows.append(dict(kernel="fused_fwd_bwd", depth=depth, size=args.size,
                          compile_s=round(compile_s, 1),
                          step_ms=round(dt * 1e3, 2),
                          mrays_per_s=round(rays / 1e6, 1)))
