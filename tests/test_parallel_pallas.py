@@ -98,3 +98,44 @@ def test_sharded_pallas_fit_descends(eight_devices):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sharded_pallas_fit_step_tree_scene(eight_devices):
+    """The sharded fast path on a fractional-transparency scene: each band
+    runs the fused TREE fwd+bwd kernel (in-kernel tree adjoint) and the
+    psum'd step matches the single-device fused step."""
+    from ray_tracer_fragment_shader_tpu.scene import Material, SceneBuilder
+
+    glass = Material(ambient=(0.02, 0.02, 0.02), diffuse=(0.1, 0.1, 0.2),
+                     specular=(0.4, 0.4, 0.4), transparency=(0.5, 0.5, 0.5),
+                     refraction=0.9)
+    scene = (SceneBuilder().add_checkerboard()
+             .add_sphere("d5", material=glass).add_sphere("c3")
+             .add_light("b6").build())
+    assert not scene.chain_exact
+    camcfg = presets._cam(SIZE)
+    cfg = dataclasses.replace(presets.fit_target(size=SIZE)[2], max_depth=2)
+    cam = Camera.from_config(camcfg, cfg.width, cfg.height)
+    target = render_image_pallas(scene, cam, cfg, **BLOCKS)
+
+    params0 = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 1.0)
+    opt = optax.adam(0.05)
+
+    loss_s, grads_s = fit_value_and_grad(params0, scene, cam, cfg, target,
+                                         **BLOCKS)
+    opt_state = opt.init(params0)
+    updates, _ = opt.update(grads_s, opt_state, params0)
+    params_s = optax.apply_updates(params0, updates)
+
+    mesh = make_mesh(eight_devices)
+    step, tgt = make_sharded_fit_step_pallas(scene, cam, cfg, target, opt,
+                                             mesh, **BLOCKS)
+    opt_state = opt.init(params0)
+    params_m, _, loss_m = step(params0, opt_state, tgt)
+
+    assert float(loss_m) == pytest.approx(float(loss_s), rel=1e-5)
+    for leaf_s, leaf_m in zip(jax.tree_util.tree_leaves(params_s),
+                              jax.tree_util.tree_leaves(params_m)):
+        np.testing.assert_allclose(np.asarray(leaf_m), np.asarray(leaf_s),
+                                   rtol=2e-4, atol=2e-6)
