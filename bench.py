@@ -44,8 +44,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
-    iters = int(os.environ.get("BENCH_ITERS", "32"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "64"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     forward_only = os.environ.get("BENCH_FORWARD_ONLY", "0") == "1"
     # backend: the fused Pallas kernels (default) or XLA
     backend = os.environ.get("BENCH_BACKEND", "pallas")
@@ -95,6 +95,16 @@ def main() -> None:
     bh = int(os.environ.get("BENCH_BLOCK_H", "32"))
     bw = int(os.environ.get("BENCH_BLOCK_W", "256"))
 
+    # step-invariant padded input planes (ray dirs, target, mask): prepared
+    # once, exactly as a real fit loop would (adjoint_fused.py::
+    # prepare_fit_inputs) — XLA does not hoist them out of the scan body
+    prep = None
+    if not forward_only and backend == "pallas" and adjoint == "fused":
+        from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
+            prepare_fit_inputs)
+        prep = prepare_fit_inputs(camera, config, target,
+                                  block_h=bh, block_w=bw)
+
     def one_iter(accum, eps):
         if forward_only:
             # perturb the camera so the (concrete) scene stays compactable
@@ -109,7 +119,8 @@ def main() -> None:
         if backend == "pallas" and adjoint in ("fused", "fused2"):
             loss, grads = fit_value_and_grad(
                 p, scene, camera, config, target,
-                single_kernel=(adjoint == "fused"))
+                block_h=bh, block_w=bw,
+                single_kernel=(adjoint == "fused"), prep=prep)
         else:
             loss, grads = jax.value_and_grad(loss_fn)(p, scene, camera,
                                                       config, target)

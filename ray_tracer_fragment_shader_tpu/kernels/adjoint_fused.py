@@ -40,8 +40,8 @@ from ..diff.fit import FitParams
 from ..ops.rays import Camera, primary_rays, screen_points
 from ..scene.flat import FlatScene
 from ..utils import fastmath
-from .render_pallas import (_pad_img, compact_scene, pack_scene,
-                            render_forward_with_residuals)
+from .render_pallas import (_pad_img, compact_scene, kernel_compiler_params,
+                            pack_scene, render_forward_with_residuals)
 
 # Diff-table layouts (rows = entity, cols = packed fields)
 SPHD_COLS = 8    # cx cy cz r - - - -
@@ -1009,6 +1009,7 @@ def recompute_grads_pallas(scene: FlatScene, camera: Camera,
                                         jnp.float32)],
         scratch_shapes=[res_scr] * (2 + nl),
         interpret=interpret,
+        compiler_params=None if interpret else kernel_compiler_params(),
     )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
       packed["misc"], sphd, matd, lightd, vx, vy, vz, gr, gg, gb)
 
@@ -1110,6 +1111,7 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
                    jax.ShapeDtypeStruct((max(nl, 1), LIGHTD_COLS),
                                         jnp.float32)],
         interpret=interpret,
+        compiler_params=None if interpret else kernel_compiler_params(),
     )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
       packed["misc"], sphd, matd, lightd, vx, vy, vz, bi, mid, lit,
       gr, gg, gb)
@@ -1119,13 +1121,49 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
                 mat_specular=dmat[:m, 6:9], light_pos=dlight[:nl, 0:3])
 
 
+def prepare_fit_inputs(camera: Camera, config: RenderConfig, target,
+                       mask: Optional[Any] = None,
+                       block_h: int = 32, block_w: int = 256,
+                       pts: Optional[Any] = None) -> Dict[str, Any]:
+    """Precompute the padded per-pixel input planes of the fused fwd+bwd
+    kernel: primary-ray directions, target RGB and the pixel mask —
+    everything that depends only on (camera, config, target), NOT on the
+    fit parameters.
+
+    In a fit loop these are step-invariant, but XLA does not hoist them out
+    of a ``lax.scan``/training-loop body: recomputing them per step costs
+    ~10 full-image elementwise ops plus 7 pad copies of HBM traffic
+    (~0.1 ms at 1024², ~3% of the fused step).  Call this once and pass the
+    result as ``prep=`` to ``fused_loss_grads_pallas`` /
+    ``fit_value_and_grad`` — the per-step work is then only the tiny
+    parameter-table packing plus the kernel itself."""
+    w, h = config.width, config.height
+    if pts is None:
+        pts = screen_points(camera, w, h)
+    _, v = primary_rays(camera, pts)
+    vx = _pad_img(v[:, 0], h, w, block_h, block_w)
+    vy = _pad_img(v[:, 1], h, w, block_h, block_w)
+    vz = _pad_img(v[:, 2], h, w, block_h, block_w)
+    target = jnp.asarray(target, jnp.float32)
+    tr = _pad_img(target[..., 0].reshape(-1), h, w, block_h, block_w)
+    tg = _pad_img(target[..., 1].reshape(-1), h, w, block_h, block_w)
+    tb = _pad_img(target[..., 2].reshape(-1), h, w, block_h, block_w)
+    if mask is None:
+        mask = jnp.ones((h, w), jnp.float32)
+    mask = _pad_img(jnp.asarray(mask, jnp.float32).reshape(-1),
+                    h, w, block_h, block_w)
+    return dict(vx=vx, vy=vy, vz=vz, tr=tr, tg=tg, tb=tb, mask=mask,
+                block=(block_h, block_w))
+
+
 def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
                             config: RenderConfig, target,
                             mask: Optional[Any] = None,
                             denom: Optional[float] = None,
                             block_h: int = 32, block_w: int = 256,
                             interpret: Optional[bool] = None,
-                            pts: Optional[Any] = None):
+                            pts: Optional[Any] = None,
+                            prep: Optional[Dict[str, Any]] = None):
     """Single-kernel fwd+bwd (one dispatch, residuals never touch HBM):
     returns ``(sq_err_sum, grads_c)`` where ``sq_err_sum`` is the
     mask-weighted squared-error sum ``sum(mask * (img - target)^2)``
@@ -1167,22 +1205,15 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
         camera.eye.astype(jnp.float32))
     sphd, matd, lightd = _pack_diff_tables(scene)
 
-    if pts is None:
-        pts = screen_points(camera, w, h)
-    _, v = primary_rays(camera, pts)
-    vx = _pad_img(v[:, 0], h, w, block_h, block_w)
-    vy = _pad_img(v[:, 1], h, w, block_h, block_w)
-    vz = _pad_img(v[:, 2], h, w, block_h, block_w)
+    if prep is None:
+        prep = prepare_fit_inputs(camera, config, target, mask=mask,
+                                  block_h=block_h, block_w=block_w, pts=pts)
+    elif prep["block"] != (block_h, block_w):
+        raise ValueError(f"prep was built for block {prep['block']}, "
+                         f"called with ({block_h}, {block_w})")
+    vx, vy, vz = prep["vx"], prep["vy"], prep["vz"]
+    tr, tg, tb, mask = prep["tr"], prep["tg"], prep["tb"], prep["mask"]
     ph, pw = vx.shape
-
-    target = jnp.asarray(target, jnp.float32)
-    tr = _pad_img(target[..., 0].reshape(-1), h, w, block_h, block_w)
-    tg = _pad_img(target[..., 1].reshape(-1), h, w, block_h, block_w)
-    tb = _pad_img(target[..., 2].reshape(-1), h, w, block_h, block_w)
-    if mask is None:
-        mask = jnp.ones((h, w), jnp.float32)
-    mask = _pad_img(jnp.asarray(mask, jnp.float32).reshape(-1),
-                    h, w, block_h, block_w)
 
     kernel = functools.partial(
         _fused_fwd_bwd_kernel, ns=ns, nt=packed["tri"].shape[0], m=m, nl=nl,
@@ -1218,6 +1249,7 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
                                         jnp.float32)],
         scratch_shapes=[res_scr] * (2 + nl),
         interpret=interpret,
+        compiler_params=None if interpret else kernel_compiler_params(),
     )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
       packed["misc"], sphd, matd, lightd, vx, vy, vz, tr, tg, tb, mask)
 
@@ -1264,7 +1296,8 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                        config: RenderConfig, target,
                        block_h: int = 32, block_w: int = 256,
                        interpret: Optional[bool] = None, key=None,
-                       single_kernel: bool = True):
+                       single_kernel: bool = True,
+                       prep: Optional[Dict[str, Any]] = None):
     """(loss, d loss/d params) of the L2 photometric loss with the Pallas
     forward and the fused in-kernel backward — the fast path for the
     BASELINE config-4 fit and the fwd+bwd benchmark.
@@ -1289,6 +1322,11 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
 
     scene_full = params.into_scene(scene)
     use_jitter = config.samples > 1 or config.force_jitter
+    if prep is not None and (use_jitter
+                             or not (single_kernel
+                                     or not scene_full.chain_exact)):
+        raise ValueError("prep= is only supported on the single-kernel "
+                         "fused path (no supersampling)")
     if not use_jitter:
         denom = float(config.height * config.width * 3)
         if single_kernel or not scene_full.chain_exact:
@@ -1299,7 +1337,8 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
             # two-phase fit_grads_pallas below is chain-only).
             sq_sum, grads_c = fused_loss_grads_pallas(
                 scene_full, camera, config, target, denom=denom,
-                block_h=block_h, block_w=block_w, interpret=interpret)
+                block_h=block_h, block_w=block_w, interpret=interpret,
+                prep=prep)
             return sq_sum / denom, grads_to_fitparams(params, scene_full,
                                                       grads_c)
         img, res = render_forward_with_residuals(

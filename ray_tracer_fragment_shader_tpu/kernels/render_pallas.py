@@ -23,6 +23,7 @@ Scope (matches the chain renderer, core/renderer.py):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -37,6 +38,21 @@ from ..scene.flat import FlatScene, tri_derived
 from ..utils import fastmath
 
 BIG = 3.0e38
+
+# Mosaic scoped-VMEM ceiling for every render/adjoint kernel.  The default
+# 16 MiB scoped limit exists to leave double-buffering headroom for
+# HBM-streaming kernels; these kernels move ~24 B/pixel against ~12k VPU
+# slots/pixel (compute-bound by 3 orders), so trading pipelining headroom
+# for larger tiles is free — and larger tiles amortize the per-fori_loop-
+# iteration scalar-core bookkeeping that dominates the gap to speed of
+# light at 32x256 (PERF.md section 6).  v5e has 128 MiB of VMEM.
+VMEM_LIMIT_BYTES = int(os.environ.get("RTFS_VMEM_LIMIT_MB", "100")) * 2**20
+
+
+def kernel_compiler_params() -> "pltpu.CompilerParams":
+    """CompilerParams shared by all render/adjoint pallas_calls (ignored in
+    interpret mode)."""
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 # SMEM table layouts (one row per primitive/material/light)
 SPH_COLS = 8    # cx cy cz r mat valid transp_any -
@@ -703,6 +719,7 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
                    + [jax.ShapeDtypeStruct((levels, ph, pw), jnp.float32)]
                    * n_res),
         interpret=interpret,
+        compiler_params=None if interpret else kernel_compiler_params(),
     )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
       packed["misc"], vx, vy, vz)
     img = jnp.stack([out[0][:h, :w], out[1][:h, :w], out[2][:h, :w]], -1)

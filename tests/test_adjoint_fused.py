@@ -123,3 +123,27 @@ def test_jits(setup):
         lambda p: fit_value_and_grad(p, scene, cam, cfg, target))(params)
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(grads.sph_center)).all()
+
+
+def test_prepared_inputs_match_inline(setup):
+    """prepare_fit_inputs + prep= must be bit-identical to the inline path
+    (same planes, same kernel) and reject block-shape mismatches."""
+    from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
+        prepare_fit_inputs)
+    scene, cam, cfg, target = setup
+    params = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 1.0)
+
+    loss_i, grads_i = fit_value_and_grad(params, scene, cam, cfg, target,
+                                         block_h=8, block_w=128)
+    prep = prepare_fit_inputs(cam, cfg, target, block_h=8, block_w=128)
+    loss_p, grads_p = fit_value_and_grad(params, scene, cam, cfg, target,
+                                         block_h=8, block_w=128, prep=prep)
+    assert float(loss_i) == float(loss_p)
+    for fname in FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(grads_i, fname)),
+                                      np.asarray(getattr(grads_p, fname)))
+
+    with pytest.raises(ValueError, match="block"):
+        fit_value_and_grad(params, scene, cam, cfg, target,
+                           block_h=16, block_w=128, prep=prep)
