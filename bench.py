@@ -145,14 +145,15 @@ def main() -> None:
                          fwd_s=dt if forward_only else None,
                          fwd_bwd_s=None if forward_only else dt)
         key = "sol_fraction_fwd" if forward_only else "sol_fraction_fwd_bwd"
+        rate_key = ("mix_rate_fwd_ops_per_s" if forward_only
+                    else "mix_rate_fwd_bwd_ops_per_s")
         sol = {
             "sol_fraction": round(rep[key], 4),
-            "sol_fraction_flat": round(rep[key + "_flat"], 4),
-            "slots_per_pixel_fwd": rep["slots_per_pixel_fwd"],
-            "slots_per_pixel_bwd": rep["slots_per_pixel_bwd"],
             "ops_per_pixel_fwd": rep["ops_per_pixel_fwd"],
             "ops_per_pixel_bwd": rep["ops_per_pixel_bwd"],
-            "vpu_ops_per_s": round(rep["vpu_ops_per_s"], 0),
+            # denominator: register-resident issue rate measured at THIS
+            # kernel's jaxpr-derived op-class mix (utils/roofline.py)
+            "mix_rate_ops_per_s": round(rep[rate_key], 0),
         }
 
     tag = "" if preset == "full_reflective" else f"_{preset}"

@@ -1,42 +1,49 @@
 """Speed-of-light (roofline) model for the fused Pallas kernels.
 
-The render kernels are pure VPU programs: every op is an elementwise f32
-mul/add/compare/select over [BH, BW] tile planes, there are no matmuls
-(nothing for the MXU) and — once a tile's rays and scene tables are in
-VMEM/SMEM — no HBM traffic inside the bounce loop (HBM moves only the ray
-planes in and RGB planes out: ~24 B/pixel against >9,000 ops/pixel, so the
-kernel is compute-bound by 3 orders of magnitude).  Speed of light is
-therefore the VPU issue rate:
+The render kernels are pure-VPU elementwise programs: no matmuls (nothing
+for the MXU) and — once a tile's rays and scene tables are in VMEM/SMEM —
+no HBM traffic inside the bounce loop (~24 B/pixel moved vs ~12k ops/pixel:
+compute-bound by 3 orders of magnitude).  Speed of light is therefore the
+VPU's sustained issue rate *for this program's instruction mix*:
 
-    SOL step time = (slots per pixel) * pixels / (measured VPU slots/s)
+    SOL step time = (flat ops per pixel) * pixels / (measured mix rate)
     sol_fraction  = SOL step time / measured step time
 
-Every number in the model is derived or measured, nothing is estimated:
+Both factors are derived or measured, nothing is hand-tuned:
 
   * per-pixel op counts come from the kernels' own jaxprs
     (utils/opcount.py — DCE'd trace of the actual tile bodies, fori_loops
-    multiplied by trip count; round 2's hand-audited tables and the
-    backward's ``VJP_FACTOR=3`` guess are gone, obsoleted by the
-    hand-written adjoint which made the backward a plain traceable
-    function);
-  * per-op-class slot costs are measured on the chip by the committed
-    probe ``scripts/vpu_op_probe.py`` (injection differencing) and loaded
-    from its artifact ``artifacts/roofline/op_weights.json``; the defaults
-    below are that probe's results on TPU v5e;
-  * the VPU issue rate is measured by ``measure_vpu_ops_per_s`` (dependent
-    register-resident chains, iteration-count-differenced timing).
+    multiplied by trip count);
+  * the denominator is measured by :func:`measure_mix_rate`: a
+    register-resident dependent-chain Pallas kernel whose op-class
+    schedule is GENERATED from those same jaxpr counts (largest-remainder
+    allocation over a 256-op block), timed by iteration-count differencing
+    with the chain count swept for issue saturation.
 
-The flat model (every op = 1 slot) is reported alongside as a lower bound.
-``scripts/roofline_validate.py`` checks the model against measured step
-times across depth/scene/resolution sweeps (PERF.md "model vs measured").
+Why a mix-calibrated rate instead of per-op-class slot weights: the v5e
+VPU is a VLIW machine — ops co-issue across slots.  The committed probe
+``scripts/vpu_op_probe.py`` (artifact
+``artifacts/roofline/op_weights.json``) measures marginal per-class costs
+of ~0.35 slots for select and ~0.25 for compare next to a 1.0 mul, and its
+additivity check FAILS (a render-ratio mix runs 1.49x faster than the sum
+of its parts predicts): per-class costs do not add, so any
+weighted-slot-sum model is structurally wrong on this hardware — round 2's
+``OP_WEIGHTS`` model (select 2.5, sqrt 10, ...) happened to land within a
+few % of this model's answer, but could not be defended op-by-op.  A chain
+with the real instruction ratio measures the co-issued rate directly; the
+only assumption left is that Mosaic's VMEM-operand streaming can keep the
+issue ports as busy as register-resident operands do, which is exactly the
+gap ``sol_fraction`` reports.
+
+``scripts/roofline_validate.py`` checks the model's *shape* against
+measured step times across depth/scene/resolution sweeps (PERF.md "model
+vs measured").
 """
 from __future__ import annotations
 
 import functools
-import json
-import os
 import time
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,139 +52,199 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .opcount import kernel_op_counts
 
-# Defaults = scripts/vpu_op_probe.py results on TPU v5 lite (see
-# artifacts/roofline/op_weights.json for the committed raw measurement).
-OP_WEIGHTS_DEFAULT = dict(basic=1.0, cmp=1.0, select=2.5, abs=1.5,
-                          sign=2.0, recip_nr=5.0, rsqrt=8.0, sqrt=10.0,
-                          div=10.0, floor=1.0)
-
-_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "..", "..",
-                             "artifacts", "roofline", "op_weights.json")
-
-
-@functools.lru_cache(maxsize=1)
-def load_op_weights() -> Dict[str, float]:
-    """Measured per-class slot costs: the committed probe artifact if
-    present, else the defaults (same probe, run on TPU v5e)."""
-    try:
-        with open(_WEIGHTS_PATH) as fh:
-            data = json.load(fh)
-        return {**OP_WEIGHTS_DEFAULT, **data["weights"]}
-    except (OSError, KeyError, ValueError):
-        return dict(OP_WEIGHTS_DEFAULT)
-
-
-def weighted_slots(counts: Dict[str, float],
-                   weights: Dict[str, float] = None) -> float:
-    """Sum of per-class counts priced at the measured slot costs.  Unknown
-    classes (``other:*`` from the counter) price at 1 slot."""
-    if weights is None:
-        weights = load_op_weights()
-    return float(sum(weights.get(k, 1.0) * v for k, v in counts.items()))
+# classes the mix chain can emit; anything else (tiny "other:*" residue)
+# folds into basic
+_MIX_CLASSES = ("basic", "select", "cmp", "abs", "sign", "rsqrt", "sqrt",
+                "div", "recip_nr", "floor")
+_MIX_BLOCK_OPS = 256   # budget ops per chain iteration
 
 
 def flat_slots(counts: Dict[str, float]) -> float:
     return float(sum(counts.values()))
 
 
-# ---------------------------------------------------------------------------
-# Empirical VPU issue rate
-# ---------------------------------------------------------------------------
+def mix_schedule(counts: Dict[str, float],
+                 block_ops: int = _MIX_BLOCK_OPS) -> Tuple[str, ...]:
+    """Largest-remainder integer allocation of ``block_ops`` budget ops over
+    the op classes of ``counts``, interleaved proportionally (Bresenham) so
+    heavy classes don't run in bursts.  Classes whose share rounds to zero
+    are dropped (for the render kernels that is sign/div, <0.5% of cost).
 
-_CHAIN_OPS = 3  # ops per element per iteration of the measurement chain
+    One budget op = one numerator-count unit: the ``recip_nr`` entry emits
+    approx-reciprocal + one Newton step (4 instructions) but consumes ONE
+    budget op, exactly as utils/opcount.py counts one ``recip_nr`` per
+    reciprocal site — numerator and denominator stay in the same units."""
+    tot = sum(counts.values())
+    shares = {k: 0.0 for k in _MIX_CLASSES}
+    for k, v in counts.items():
+        shares[k if k in _MIX_CLASSES else "basic"] += v / tot
+    alloc = {k: int(s * block_ops) for k, s in shares.items()}
+    rema = sorted(shares, key=lambda k: (shares[k] * block_ops) % 1.0,
+                  reverse=True)
+    for k in rema:
+        if sum(alloc.values()) >= block_ops:
+            break
+        alloc[k] += 1
+    alloc = {k: n for k, n in alloc.items() if n > 0}
+    # proportional interleave
+    sched, err = [], {k: 0.0 for k in alloc}
+    for _ in range(sum(alloc.values())):
+        for k in err:
+            err[k] += alloc[k]
+        k = max(err, key=err.get)
+        err[k] -= sum(alloc.values())
+        sched.append(k)
+    return tuple(sched)
 
 
-def _peak_kernel(x_ref, o_ref, *, iters: int, n_chains: int):
-    # Non-foldable nonlinear recurrences, 3 un-fusable VPU slots per element
-    # per iteration (mul, add, max) over ``n_chains`` independent register-
-    # resident chains.  The tile must be small enough to live in vector
-    # registers for all chains — a big tile spills to VMEM every iteration
-    # and measures load/store bandwidth instead (observed 1.2 T "ops"/s for
-    # a 256x512 tile vs 5.1 T for 32x256 x 2 chains on v5e).  y stays in
-    # (0.5, 0.7): y*y < y, so the max takes the y+eps branch and the value
-    # never diverges.
-    ys = tuple(x_ref[:] * (1.0 + 0.001 * i) for i in range(n_chains))
+def _emit(cls: str, y, b, c, d, bfix):
+    """One budget op of class ``cls`` on carry ``y`` (and bool carry ``b``
+    for cmp->select pairs).  All forms keep y bounded and positive; VPU
+    timing is data-independent so fixed points don't matter."""
+    if cls == "basic":
+        return y * c, b
+    if cls == "cmp":
+        return y, y > d
+    if cls == "select":
+        return jnp.where(b, y, d), b
+    if cls == "abs":
+        return jnp.abs(y), b
+    if cls == "sign":
+        return jnp.sign(y) * d, b          # sign + support mul (_EXTRA_BASIC)
+    if cls == "rsqrt":
+        return jax.lax.rsqrt(y), b
+    if cls == "sqrt":
+        return jnp.sqrt(y), b
+    if cls == "div":
+        return c / y, b
+    if cls == "recip_nr":
+        r = pl.reciprocal(y, approx=True)
+        return r * (2.0 - y * r), b
+    if cls == "floor":
+        return jnp.floor(y * 1.618) * d + c * 0.25, b
+    raise ValueError(cls)
 
-    def body(_, ys):
-        return tuple(jnp.maximum(y + 1e-8, y * y) for y in ys)
 
-    ys = jax.lax.fori_loop(0, iters, body, ys)
+# extra instructions _emit issues beyond the budget op itself, charged to
+# the basic budget during schedule rewriting (keeps units exact)
+_EXTRA_BASIC = dict(sign=1, floor=3)
+
+
+def _rewrite_schedule(sched):
+    """Charge _EXTRA_BASIC support instructions against the basic budget:
+    each 'sign' emits sign+mul, so one following 'basic' entry is removed
+    per extra instruction (schedule stays the same budget-op total)."""
+    out, owed = [], 0
+    for cls in sched:
+        if cls == "basic" and owed > 0:
+            owed -= 1
+            continue
+        owed += _EXTRA_BASIC.get(cls, 0)
+        out.append(cls)
+    return tuple(out)
+
+
+def _mix_kernel(x_ref, o_ref, *, iters: int, nc: int, sched):
+    ys = [x_ref[:] * (1.0 + 0.001 * i) for i in range(nc)]
+    c = x_ref[0, 0] * 2.0            # ~1.0, loop-invariant, not foldable
+    d = x_ref[0, 1]                  # ~0.6
+    bfix = x_ref[:] > d
+    bs = [bfix] * nc
+
+    def body(_, carry):
+        ys, bs = carry
+        outs = []
+        for y, b in zip(ys, bs):
+            for cls in sched:
+                y, b = _emit(cls, y, b, c, d, bfix)
+            # consume the bool carry so no cmp is dead code
+            y = jnp.where(b, y, d)
+            outs.append((y, b))
+        return [y for y, _ in outs], [b for _, b in outs]
+
+    ys, _ = jax.lax.fori_loop(0, iters, body, (ys, bs))
     acc = ys[0]
     for y in ys[1:]:
         acc = acc + y
     o_ref[:] = acc
 
 
-@functools.lru_cache(maxsize=4)
-def measure_vpu_ops_per_s(block_h: int = 32, block_w: int = 256,
-                          n_chains: int = 2, grid: int = 512,
-                          iters: int = 65536, reps: int = 5) -> float:
-    """Measured elementwise-VPU throughput (ops/s) on the default device —
-    the SOL denominator for the kernels' op mix (mostly non-fusable
-    cmp/select/add/mul slots).  The default shape (8 vregs x 2 chains) was
-    the maximum over a register-residency sweep on TPU v5e (~5.1 Tops/s).
+_BLOCK_H, _BLOCK_W, _GRID = 8, 256, 256
 
-    Timing uses the iteration-count-difference method (cf. bench.py): the
-    tunneled runtime has tens of ms of dispatch latency and an unreliable
-    block_until_ready, so the rate comes from t(2K iters) - t(K iters) with
-    the result scalar fetched to force completion — dispatch overhead
-    cancels in the subtraction."""
-    x = jnp.full((block_h * grid, block_w), 0.6, jnp.float32)
-    tile = pl.BlockSpec((block_h, block_w), lambda i: (i, 0),
+
+@functools.lru_cache(maxsize=8)
+def _measure_mix_rate_cached(sched: Tuple[str, ...], budget_ops: int,
+                             iters: int, reps: int) -> float:
+    import numpy as np
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(0.5 + 0.2 * rng.random((_BLOCK_H * _GRID, _BLOCK_W)),
+                    jnp.float32)
+    tile = pl.BlockSpec((_BLOCK_H, _BLOCK_W), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
-    def make(n_iters):
-        kern = functools.partial(_peak_kernel, iters=n_iters,
-                                 n_chains=n_chains)
+    def make(n_iters, nc):
+        kern = functools.partial(_mix_kernel, iters=n_iters, nc=nc,
+                                 sched=sched)
         return jax.jit(lambda x: jnp.float32(pl.pallas_call(
-            kern, grid=(grid,), in_specs=[tile], out_specs=tile,
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)[0, 0]))
+            kern, grid=(_GRID,), in_specs=[tile], out_specs=tile,
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32))(x)[0, 0]))
 
-    run1, run2 = make(iters), make(2 * iters)
-    float(run1(x)); float(run2(x))  # compile both
-    deltas = []
-    for _ in range(reps):
-        t0 = time.perf_counter(); float(run1(x)); t1 = time.perf_counter()
-        float(run2(x)); t2 = time.perf_counter()
-        deltas.append(max((t2 - t1) - (t1 - t0), 1e-9))
-    deltas.sort()
-    med = deltas[len(deltas) // 2]  # median: robust to tunnel RTT jitter
-    return x.size * _CHAIN_OPS * n_chains * iters / med
+    best = None
+    # the tail select that consumes the bool carry is one extra budget op
+    per_step = budget_ops + 1
+    for nc in (2, 4, 6):
+        run1, run2 = make(iters, nc), make(2 * iters, nc)
+        float(run1(x)); float(run2(x))
+        deltas = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); float(run1(x))
+            t1 = time.perf_counter(); float(run2(x))
+            t2 = time.perf_counter()
+            deltas.append(max((t2 - t1) - (t1 - t0), 1e-12))
+        deltas.sort()
+        rate = x.size * nc * iters * per_step / deltas[len(deltas) // 2]
+        best = rate if best is None else max(best, rate)
+    return best
+
+
+def measure_mix_rate(counts: Dict[str, float], iters: int = 2048,
+                     reps: int = 5) -> float:
+    """Sustained VPU issue rate (budget ops/s) for a register-resident
+    dependent chain with the op-class ratio of ``counts`` — the SOL
+    denominator.  Chain count swept (2/4/6 independent chains) and the
+    best taken: saturation, not dependency latency.  Iteration-count-
+    difference timing (dispatch cancels), median of ``reps``."""
+    sched = _rewrite_schedule(mix_schedule(counts))
+    return _measure_mix_rate_cached(sched, _MIX_BLOCK_OPS, iters, reps)
 
 
 def sol_report(scene, config, pixels: int,
-               fwd_s: float = None, fwd_bwd_s: float = None,
-               vpu_ops_per_s: float = None) -> Dict[str, float]:
-    """Roofline summary for a measured step time.
-
-    Returns per-pixel slot counts (weighted = probe-measured op-class
-    costs, flat = 1 slot/op lower bound), the measured VPU rate, the
-    speed-of-light step times and the achieved ``sol_fraction``s (the
-    primary fractions use the weighted model; ``*_flat`` are the
-    conservative lower bounds).  The forward count is the chain forward
-    kernel; the backward count is the fused L2-epilogue + hand-written
-    replay adjoint, so fwd+bwd models the single-dispatch fused kernel
-    exactly (the two-phase path differs only by residual HBM traffic)."""
+               fwd_s: float = None, fwd_bwd_s: float = None) -> Dict[str, float]:
+    """Roofline summary for a measured step time: per-pixel flat op counts
+    (jaxpr-derived), the mix-calibrated issue rate for this kernel's op
+    blend, the speed-of-light step times and the achieved
+    ``sol_fraction``s.  The forward count is the chain forward kernel; the
+    backward count is the fused L2-epilogue + hand-written replay adjoint,
+    so fwd+bwd models the single-dispatch fused kernel exactly (the
+    two-phase path differs only by residual HBM traffic)."""
     fwd_c, bwd_c = kernel_op_counts(scene, config)
-    f_w, b_w = weighted_slots(fwd_c), weighted_slots(bwd_c)
     f_f, b_f = flat_slots(fwd_c), flat_slots(bwd_c)
-    if vpu_ops_per_s is None:
-        vpu_ops_per_s = measure_vpu_ops_per_s()
     out = dict(ops_per_pixel_fwd=round(f_f, 1),
                ops_per_pixel_bwd=round(b_f, 1),
-               slots_per_pixel_fwd=round(f_w, 1),
-               slots_per_pixel_bwd=round(b_w, 1),
-               vpu_ops_per_s=vpu_ops_per_s,
                counts_fwd=fwd_c, counts_bwd=bwd_c)
     if fwd_s is not None:
-        sol = f_w * pixels / vpu_ops_per_s
+        rate = measure_mix_rate(fwd_c)
+        sol = f_f * pixels / rate
+        out["mix_rate_fwd_ops_per_s"] = rate
         out["sol_fwd_s"] = sol
         out["sol_fraction_fwd"] = sol / fwd_s
-        out["sol_fraction_fwd_flat"] = f_f * pixels / vpu_ops_per_s / fwd_s
     if fwd_bwd_s is not None:
-        sol = (f_w + b_w) * pixels / vpu_ops_per_s
+        tot = dict(fwd_c)
+        for k, v in bwd_c.items():
+            tot[k] = tot.get(k, 0.0) + v
+        rate = measure_mix_rate(tot)
+        sol = (f_f + b_f) * pixels / rate
+        out["mix_rate_fwd_bwd_ops_per_s"] = rate
         out["sol_fwd_bwd_s"] = sol
         out["sol_fraction_fwd_bwd"] = sol / fwd_bwd_s
-        out["sol_fraction_fwd_bwd_flat"] = ((f_f + b_f) * pixels
-                                            / vpu_ops_per_s / fwd_bwd_s)
     return out

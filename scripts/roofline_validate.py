@@ -5,8 +5,10 @@ tile sweep and show residuals <= 10%").
 For a set of configurations spanning scene size (4..64 spheres, 2..18
 triangles), depth (2/3/5), resolution (512^2..4096^2) and mode (fwd,
 fwd+bwd), this measures the real step time (shared scan-difference harness,
-utils/timing.py) and the model's speed-of-light time (jaxpr-derived op
-counts x probe-measured slot costs / measured VPU rate — utils/roofline.py).
+utils/timing.py) and the model's speed-of-light time (jaxpr-derived flat op
+counts / mix-calibrated VPU issue rate — utils/roofline.py: the denominator
+is measured by a register-resident chain whose op-class schedule is
+generated from each kernel's own counts).
 
 The model is a lower bound, so the test of its *shape* is that the achieved
 efficiency  eff = sol_time / measured_time  is consistent across rows: the
@@ -80,10 +82,7 @@ def main() -> None:
     import dataclasses
 
     from ray_tracer_fragment_shader_tpu.scene import presets
-    from ray_tracer_fragment_shader_tpu.utils.roofline import (
-        measure_vpu_ops_per_s, sol_report)
-
-    vpu = measure_vpu_ops_per_s()
+    from ray_tracer_fragment_shader_tpu.utils.roofline import sol_report
 
     def cfgs():
         # (label, scene, camcfg, config, mode)
@@ -109,15 +108,17 @@ def main() -> None:
         dt = measure(scene, camcfg, config, mode, args.iters, args.reps)
         rep = sol_report(scene, config, pixels,
                          fwd_s=dt if mode == "fwd" else None,
-                         fwd_bwd_s=dt if mode == "fwd_bwd" else None,
-                         vpu_ops_per_s=vpu)
+                         fwd_bwd_s=dt if mode == "fwd_bwd" else None)
         sol_s = rep["sol_fwd_s" if mode == "fwd" else "sol_fwd_bwd_s"]
         eff = rep["sol_fraction_fwd" if mode == "fwd"
                   else "sol_fraction_fwd_bwd"]
         rows.append(dict(label=label, mode=mode, pixels=pixels,
                          depth=config.max_depth,
-                         slots_fwd=rep["slots_per_pixel_fwd"],
-                         slots_bwd=rep["slots_per_pixel_bwd"],
+                         ops_fwd=rep["ops_per_pixel_fwd"],
+                         ops_bwd=rep["ops_per_pixel_bwd"],
+                         mix_rate=round(rep["mix_rate_fwd_ops_per_s"
+                                            if mode == "fwd" else
+                                            "mix_rate_fwd_bwd_ops_per_s"], 0),
                          measured_ms=round(dt * 1e3, 3),
                          sol_ms=round(sol_s * 1e3, 3),
                          sol_fraction=round(eff, 4)))
@@ -132,7 +133,7 @@ def main() -> None:
                                   / r["measured_ms"], 1)
 
     out = dict(device=jax.devices()[0].device_kind,
-               vpu_ops_per_s=round(vpu, 0), median_sol_fraction=med,
+               median_sol_fraction=med,
                iters=args.iters, reps=args.reps, rows=rows)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
