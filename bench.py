@@ -96,8 +96,10 @@ def main() -> None:
     bw = int(os.environ.get("BENCH_BLOCK_W", "256"))
 
     # step-invariant padded input planes (ray dirs, target, mask): prepared
-    # once, exactly as a real fit loop would (adjoint_fused.py::
-    # prepare_fit_inputs) — XLA does not hoist them out of the scan body
+    # once and reused per step, the same configuration a real fit loop gets
+    # from diff/fit.py::make_fit_step_pallas (which calls
+    # prepare_fit_inputs once at construction) — XLA does not hoist these
+    # out of the scan body on its own
     prep = None
     if not forward_only and backend == "pallas" and adjoint == "fused":
         from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
@@ -138,23 +140,33 @@ def main() -> None:
 
     # --- roofline: measured VPU issue rate vs the kernels' static op count
     # (utils/roofline.py).  Only meaningful for the Pallas kernels.
+    # Best-effort: the SOL block is a DIAGNOSTIC — a failure here must
+    # never discard the already-completed step timing (round-3 postmortem:
+    # a broken roofline probe zeroed the whole bench artifact).
     sol = {}
     if backend == "pallas" and jax.default_backend() == "tpu":
-        from ray_tracer_fragment_shader_tpu.utils.roofline import sol_report
-        rep = sol_report(scene, config, pixels=size * size,
-                         fwd_s=dt if forward_only else None,
-                         fwd_bwd_s=None if forward_only else dt)
-        key = "sol_fraction_fwd" if forward_only else "sol_fraction_fwd_bwd"
-        rate_key = ("mix_rate_fwd_ops_per_s" if forward_only
-                    else "mix_rate_fwd_bwd_ops_per_s")
-        sol = {
-            "sol_fraction": round(rep[key], 4),
-            "ops_per_pixel_fwd": rep["ops_per_pixel_fwd"],
-            "ops_per_pixel_bwd": rep["ops_per_pixel_bwd"],
-            # denominator: register-resident issue rate measured at THIS
-            # kernel's jaxpr-derived op-class mix (utils/roofline.py)
-            "mix_rate_ops_per_s": round(rep[rate_key], 0),
-        }
+        try:
+            from ray_tracer_fragment_shader_tpu.utils.roofline import (
+                sol_report)
+            rep = sol_report(scene, config, pixels=size * size,
+                             fwd_s=dt if forward_only else None,
+                             fwd_bwd_s=None if forward_only else dt)
+            key = ("sol_fraction_fwd" if forward_only
+                   else "sol_fraction_fwd_bwd")
+            rate_key = ("mix_rate_fwd_ops_per_s" if forward_only
+                        else "mix_rate_fwd_bwd_ops_per_s")
+            sol = {
+                "sol_fraction": round(rep[key], 4),
+                "ops_per_pixel_fwd": rep["ops_per_pixel_fwd"],
+                "ops_per_pixel_bwd": rep["ops_per_pixel_bwd"],
+                # denominator: register-resident issue rate measured at THIS
+                # kernel's jaxpr-derived op-class mix (utils/roofline.py)
+                "mix_rate_ops_per_s": round(rep[rate_key], 0),
+            }
+        except Exception as exc:  # noqa: BLE001 — diagnostic only
+            sol = {"sol_error": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"# sol_report failed (timing still valid): {exc!r}"[:500],
+                  file=sys.stderr)
 
     tag = "" if preset == "full_reflective" else f"_{preset}"
     out = {

@@ -85,6 +85,39 @@ def make_fit_step(scene: FlatScene, camera: Camera, config: RenderConfig,
     return step
 
 
+def make_fit_step_pallas(scene: FlatScene, camera: Camera,
+                         config: RenderConfig, target,
+                         optimizer: optax.GradientTransformation,
+                         block_h: int = 32, block_w: int = 256,
+                         interpret: Optional[bool] = None):
+    """Single-device jitted Adam step on the fused Pallas path
+    (single-dispatch forward + L2 loss + in-kernel adjoint).
+
+    The step-invariant padded input planes — primary-ray directions,
+    target RGB, pixel mask — are prepared ONCE here
+    (``kernels/adjoint_fused.py::prepare_fit_inputs``) and reused every
+    step; XLA does not hoist them out of a training-loop body on its own.
+    This is the code path the headline bench times: users running a fit
+    loop get the same prepared-input configuration."""
+    from ..kernels.adjoint_fused import (fit_value_and_grad,
+                                         prepare_fit_inputs)
+    target = jnp.asarray(target, jnp.float32)
+    prep = prepare_fit_inputs(camera, config, target,
+                              block_h=block_h, block_w=block_w)
+
+    @jax.jit
+    def step(params: FitParams, opt_state):
+        loss, grads = fit_value_and_grad(
+            params, scene, camera, config, target,
+            block_h=block_h, block_w=block_w, interpret=interpret,
+            prep=prep)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def make_sharded_fit_step(scene: FlatScene, camera: Camera,
                           config: RenderConfig, target_flat,
                           optimizer: optax.GradientTransformation,
@@ -95,25 +128,39 @@ def make_sharded_fit_step(scene: FlatScene, camera: Camera,
 
     ``target_flat``: [H*W (padded to mesh size), 3] target pixels, sharded
     along the leading axis together with the pixel index arrays.
+
+    Padding entries (flat index >= H*W, clamped by ``_pixel_index_arrays``
+    to duplicate the last real pixel) are weighted to ZERO in the loss and
+    the sum is divided by the true pixel count, so the sharded loss equals
+    the unsharded ``l2_loss`` for any H*W, divisible by the mesh or not —
+    the same ``row_valid`` masking the Pallas fast path does.
     """
     mesh = make_mesh() if mesh is None else mesh
     n = mesh.devices.size
     ii, jj, total = _pixel_index_arrays(config.width, config.height, n)
+    denom = float(total * 3)
 
     def shard_loss(params: FitParams, batch):
-        ii, jj, tgt = batch
+        ii, jj, tgt, valid = batch
         flat = render_pixels(params.into_scene(scene), camera, config.width,
                              config.height, config, ij=(ii, jj))
-        return jnp.mean((flat - tgt) ** 2)
+        d = flat - tgt
+        return jnp.sum(valid[:, None] * d * d) / denom
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
                        out_specs=(P(), P(), P()),
                        check_vma=False)
     def sharded_step(params, opt_state, ii, jj, tgt):
-        loss, grads = jax.value_and_grad(shard_loss)(params, (ii, jj, tgt))
-        loss = jax.lax.pmean(loss, axis)
-        grads = jax.lax.pmean(grads, axis)
+        # this shard's global flat positions: entries past the true pixel
+        # count are mesh padding (duplicated pixels) -> zero weight
+        m = ii.shape[0]
+        pos = jax.lax.axis_index(axis) * m + jnp.arange(m)
+        valid = (pos < total).astype(jnp.float32)
+        loss, grads = jax.value_and_grad(shard_loss)(params,
+                                                     (ii, jj, tgt, valid))
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.lax.psum(grads, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -163,13 +163,45 @@ class MultiviewFitResult:
 
 
 def _make_step(scene, cameras, config, targets, sigma, opt):
+    def loss_fn(params):
+        return multiview_loss(params, scene, cameras, config, targets, sigma)
+
     @jax.jit
     def step(params, state):
-        loss, g = jax.value_and_grad(multiview_loss)(
-            params, scene, cameras, config, targets, sigma)
+        loss, g = jax.value_and_grad(loss_fn)(params)
         up, state = opt.update(g, state, params)
         return optax.apply_updates(params, up), state, loss
-    return step
+    return step, jax.jit(loss_fn)
+
+
+def _run_stage(params, step, loss_fn, opt, steps, history):
+    """Run one pyramid stage with a FRESH optimizer state and best-params
+    tracking: every evaluated loss (each step's pre-update loss plus one
+    final evaluation) is a candidate, and the stage returns the best —
+    so a stage can never end worse than it started under its own
+    objective.  Returns (params, entry_loss, best_loss).
+
+    Both guards exist because the round-3 artifact showed the old
+    behaviour (one Adam state threaded through every stage, last iterate
+    kept) actively RAISING the loss in every hard-polish stage: stale
+    soft-stage momentum walks the parameters away from the optimum and
+    nothing claws it back."""
+    state = opt.init(params)
+    best_p, best_l, entry_l = params, None, None
+    for _ in range(steps):
+        new_params, state, loss = step(params, state)
+        l = float(loss)          # loss at `params`, pre-update
+        history.append(l)
+        if entry_l is None:
+            entry_l = l
+        if best_l is None or l < best_l:
+            best_p, best_l = params, l
+        params = new_params
+    l = float(loss_fn(params))   # the last iterate is also a candidate
+    history.append(l)
+    if best_l is None or l < best_l:
+        best_p, best_l = params, l
+    return best_p, entry_l if entry_l is not None else l, best_l
 
 
 def _jitter_params(params: FitParams, rng: np.random.RandomState,
@@ -199,6 +231,7 @@ def fit_multiview(scene: FlatScene, views: Sequence[CameraConfig],
                   restart_jitter: Tuple[float, float, float] = (15.0, 0.1, 20.0),
                   geom_lr: float = 0.6, light_lr: float = 1.0,
                   mat_lr: float = 0.0, seed: int = 0,
+                  light_polish_steps: int = 120,
                   log_every: int = 0) -> MultiviewFitResult:
     """Coarse-to-fine, sigma-annealed, restarted multi-view fit.
 
@@ -211,7 +244,17 @@ def fit_multiview(scene: FlatScene, views: Sequence[CameraConfig],
     sub-pixel band under-samples the sigmoid and the geometry random-walks
     (measured).  ``None`` = hard-render polish: geometry frozen (see
     multiview_loss), lights/materials refined through exact shading.
-    """
+
+    Every stage starts from a FRESH optimizer state and keeps its best
+    iterate (``_run_stage``), so no stage can end worse than it started
+    under its own objective — ``stage_log`` records ``loss_entry`` and
+    ``loss`` (final = best) per stage, with ``loss <= loss_entry`` by
+    construction.  After the pyramid, ``light_polish_steps`` of a
+    LIGHT-ONLY hard-render stage run at the full resolution (geometry
+    frozen by hard mode, materials frozen by a zero rate): the light
+    position is the one parameter group the soft stages systematically
+    bias (soft-silhouette shading trades edge darkening against light
+    distance), so it gets a dedicated, gated refinement."""
     targets = jnp.asarray(targets)
     full = config.width
     if config.height != full:
@@ -231,7 +274,7 @@ def fit_multiview(scene: FlatScene, views: Sequence[CameraConfig],
     # --- restart race through the coarsest stage, first sigma ---
     cfg0, cams0, tgt0, px0 = stage_pieces(sizes[0])
     sigma0 = None if sigmas[0] is None else sigmas[0] * px0
-    race_step = _make_step(scene, cams0, cfg0, tgt0, sigma0, opt)
+    race_step, _ = _make_step(scene, cams0, cfg0, tgt0, sigma0, opt)
     rng = np.random.RandomState(seed)
     candidates = [init] + [
         _jitter_params(init, rng, *restart_jitter)
@@ -250,22 +293,37 @@ def fit_multiview(scene: FlatScene, views: Sequence[CameraConfig],
 
     # --- pyramid with sigma annealing ---
     params = best_params
-    state = opt.init(params)
     history: List[float] = []
     stage_log: List[Dict] = []
     for size in sizes:
         cfg_s, cams, tgts, px = stage_pieces(size)
         for sigma_px in sigmas:
             sigma = None if sigma_px is None else sigma_px * px
-            step = _make_step(scene, cams, cfg_s, tgts, sigma, opt)
-            for i in range(steps_per_sigma):
-                params, state, loss = step(params, state)
-                history.append(float(loss))
-                if log_every and i % log_every == 0:
-                    print(f"size={size} sigma_px={sigma_px} step {i}: "
-                          f"loss {float(loss):.6g}")
+            step, loss_fn = _make_step(scene, cams, cfg_s, tgts, sigma, opt)
+            params, l_entry, l_best = _run_stage(params, step, loss_fn, opt,
+                                                 steps_per_sigma, history)
+            if log_every:
+                print(f"size={size} sigma_px={sigma_px}: "
+                      f"loss {l_entry:.6g} -> {l_best:.6g}")
             stage_log.append(dict(size=size, sigma_px=sigma_px,
-                                  sigma_world=sigma, loss=history[-1]))
+                                  sigma_world=sigma, loss_entry=l_entry,
+                                  loss=l_best))
+
+    # --- light-only polish: hard render, full size, fresh Adam ---
+    if (light_polish_steps > 0 and light_lr > 0
+            and params.light_pos.shape[0] > 0):
+        cfg_f, cams_f, tgts_f, _ = stage_pieces(sizes[-1])
+        opt_l = default_fit_optimizer(geom_lr=0.0, light_lr=light_lr,
+                                      mat_lr=0.0)
+        step_l, loss_l = _make_step(scene, cams_f, cfg_f, tgts_f, None,
+                                    opt_l)
+        params, l_entry, l_best = _run_stage(params, step_l, loss_l, opt_l,
+                                             light_polish_steps, history)
+        if log_every:
+            print(f"light polish: loss {l_entry:.6g} -> {l_best:.6g}")
+        stage_log.append(dict(size=sizes[-1], sigma_px=None,
+                              sigma_world=None, stage="light_polish",
+                              loss_entry=l_entry, loss=l_best))
     return MultiviewFitResult(params=params, history=history,
                               stage_log=stage_log,
                               restart_losses=restart_losses)

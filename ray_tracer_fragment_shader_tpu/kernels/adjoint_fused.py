@@ -1138,6 +1138,7 @@ def prepare_fit_inputs(camera: Camera, config: RenderConfig, target,
     ``fit_value_and_grad`` — the per-step work is then only the tiny
     parameter-table packing plus the kernel itself."""
     w, h = config.width, config.height
+    target0, mask0, pts0 = target, mask, pts   # as-passed, for provenance
     if pts is None:
         pts = screen_points(camera, w, h)
     _, v = primary_rays(camera, pts)
@@ -1152,8 +1153,32 @@ def prepare_fit_inputs(camera: Camera, config: RenderConfig, target,
         mask = jnp.ones((h, w), jnp.float32)
     mask = _pad_img(jnp.asarray(mask, jnp.float32).reshape(-1),
                     h, w, block_h, block_w)
+    # provenance: the exact objects this prep was built from, so a caller
+    # passing a DIFFERENT target/mask alongside a stale prep gets an error
+    # instead of silently computing loss/grads against the old target
+    # (the strong refs also pin the ids against reuse)
     return dict(vx=vx, vy=vy, vz=vz, tr=tr, tg=tg, tb=tb, mask=mask,
-                block=(block_h, block_w))
+                block=(block_h, block_w),
+                src=dict(target=target0, mask=mask0, pts=pts0))
+
+
+def _check_prep(prep, target, mask, pts, block_h, block_w):
+    """Raise if ``prep`` disagrees with the call it's used in: block shape,
+    or a target/mask/pts object DIFFERENT from the one the prep was built
+    from (identity check — rebuild the prep, or pass None, when the target
+    changes; values can't be compared under tracing)."""
+    if prep["block"] != (block_h, block_w):
+        raise ValueError(f"prep was built for block {prep['block']}, "
+                         f"called with ({block_h}, {block_w})")
+    src = prep.get("src")
+    if src is None:   # prep built by an older caller: only block checked
+        return
+    for name, got in (("target", target), ("mask", mask), ("pts", pts)):
+        if got is not None and src[name] is not got:
+            raise ValueError(
+                f"prep= was built from a different `{name}` object than "
+                f"this call passes; prepare_fit_inputs() again for the new "
+                f"{name} (or pass {name}=None to use the prep's planes)")
 
 
 def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
@@ -1208,9 +1233,8 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
     if prep is None:
         prep = prepare_fit_inputs(camera, config, target, mask=mask,
                                   block_h=block_h, block_w=block_w, pts=pts)
-    elif prep["block"] != (block_h, block_w):
-        raise ValueError(f"prep was built for block {prep['block']}, "
-                         f"called with ({block_h}, {block_w})")
+    else:
+        _check_prep(prep, target, mask, pts, block_h, block_w)
     vx, vy, vz = prep["vx"], prep["vy"], prep["vz"]
     tr, tg, tb, mask = prep["tr"], prep["tg"], prep["tb"], prep["mask"]
     ph, pw = vx.shape

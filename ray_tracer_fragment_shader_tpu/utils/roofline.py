@@ -97,12 +97,18 @@ def mix_schedule(counts: Dict[str, float],
     return tuple(sched)
 
 
-def _emit(cls: str, y, b, c, d, bfix):
-    """One budget op of class ``cls`` on carry ``y`` (and bool carry ``b``
-    for cmp->select pairs).  All forms keep y bounded and positive; VPU
-    timing is data-independent so fixed points don't matter."""
+def _emit(cls: str, y, b, c, d, k: int, fast: bool = True):
+    """One budget op of class ``cls`` on value ``y`` (``b`` is the bool
+    plane produced by the most recent ``cmp``, consumed by ``select`` —
+    a BODY-LOCAL value, never a loop carry: Mosaic cannot legalize i1
+    vector planes carried through ``scf.for``).  ``k`` is the occurrence
+    index within the schedule: 'basic' alternates mul/add so the chain is
+    non-foldable even under reassociation and y stays in a bounded,
+    positive f32 domain (c ~0.6 contracts, +d restores) instead of the old
+    loop-invariant ``y*c`` that overflowed to inf within one block.  VPU
+    timing is data-independent so the exact fixed cycle doesn't matter."""
     if cls == "basic":
-        return y * c, b
+        return (y * c if k % 2 == 0 else y + d), b
     if cls == "cmp":
         return y, y > d
     if cls == "select":
@@ -118,7 +124,8 @@ def _emit(cls: str, y, b, c, d, bfix):
     if cls == "div":
         return c / y, b
     if cls == "recip_nr":
-        r = pl.reciprocal(y, approx=True)
+        # pl.reciprocal is TPU-only; the interpreter uses the exact divide
+        r = pl.reciprocal(y, approx=True) if fast else 1.0 / y
         return r * (2.0 - y * r), b
     if cls == "floor":
         return jnp.floor(y * 1.618) * d + c * 0.25, b
@@ -133,7 +140,14 @@ _EXTRA_BASIC = dict(sign=1, floor=3)
 def _rewrite_schedule(sched):
     """Charge _EXTRA_BASIC support instructions against the basic budget:
     each 'sign' emits sign+mul, so one following 'basic' entry is removed
-    per extra instruction (schedule stays the same budget-op total)."""
+    per extra instruction (schedule stays the same budget-op total).
+    Returns ``(schedule, leftover)`` where ``leftover`` is unpaid debt
+    (support instructions with no later 'basic' entry to remove).  Each
+    support mul is a basic-class instruction: when its debt is paid the
+    removed 'basic' entry keeps the per-pass unit count at the budget,
+    but unpaid debt means the chain executes that many EXTRA basic-unit
+    instructions beyond the budget — the caller must add ``leftover`` to
+    the per-step unit count or the measured rate is misstated."""
     out, owed = [], 0
     for cls in sched:
         if cls == "basic" and owed > 0:
@@ -141,28 +155,32 @@ def _rewrite_schedule(sched):
             continue
         owed += _EXTRA_BASIC.get(cls, 0)
         out.append(cls)
-    return tuple(out)
+    return tuple(out), owed
 
 
-def _mix_kernel(x_ref, o_ref, *, iters: int, nc: int, sched):
+def _mix_kernel(x_ref, o_ref, *, iters: int, nc: int, sched, fast: bool):
+    """The mix chain.  The fori_loop carries ONLY f32 planes: the bool
+    plane feeding selects starts each body iteration from the closure
+    capture ``bfix`` and is updated body-locally by 'cmp' entries; a tail
+    select consumes it so no cmp is dead code.  (Carrying i1 vector planes
+    through the loop is Mosaic-illegal — "failed to legalize 'scf.for'";
+    cf. the same pattern in scripts/vpu_op_probe.py::_chain_kernel.)"""
     ys = [x_ref[:] * (1.0 + 0.001 * i) for i in range(nc)]
-    c = x_ref[0, 0] * 2.0            # ~1.0, loop-invariant, not foldable
+    c = x_ref[0, 0]                  # ~0.6, loop-invariant, not foldable
     d = x_ref[0, 1]                  # ~0.6
     bfix = x_ref[:] > d
-    bs = [bfix] * nc
 
-    def body(_, carry):
-        ys, bs = carry
+    def body(_, ys):
         outs = []
-        for y, b in zip(ys, bs):
-            for cls in sched:
-                y, b = _emit(cls, y, b, c, d, bfix)
-            # consume the bool carry so no cmp is dead code
-            y = jnp.where(b, y, d)
-            outs.append((y, b))
-        return [y for y, _ in outs], [b for _, b in outs]
+        for y in ys:
+            b = bfix
+            for k, cls in enumerate(sched):
+                y, b = _emit(cls, y, b, c, d, k, fast=fast)
+            # consume the body-local bool so the last cmp isn't dead code
+            outs.append(jnp.where(b, y, d))
+        return outs
 
-    ys, _ = jax.lax.fori_loop(0, iters, body, (ys, bs))
+    ys = jax.lax.fori_loop(0, iters, body, ys)
     acc = ys[0]
     for y in ys[1:]:
         acc = acc + y
@@ -173,25 +191,26 @@ _BLOCK_H, _BLOCK_W, _GRID = 8, 256, 256
 
 
 @functools.lru_cache(maxsize=8)
-def _measure_mix_rate_cached(sched: Tuple[str, ...], budget_ops: int,
-                             iters: int, reps: int) -> float:
+def _measure_mix_rate_cached(sched: Tuple[str, ...], per_step: int,
+                             iters: int, reps: int,
+                             interpret: bool) -> float:
     import numpy as np
     rng = np.random.default_rng(0)
-    x = jnp.asarray(0.5 + 0.2 * rng.random((_BLOCK_H * _GRID, _BLOCK_W)),
+    grid = 2 if interpret else _GRID   # interpret mode: smoke, not timing
+    x = jnp.asarray(0.5 + 0.2 * rng.random((_BLOCK_H * grid, _BLOCK_W)),
                     jnp.float32)
     tile = pl.BlockSpec((_BLOCK_H, _BLOCK_W), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
     def make(n_iters, nc):
         kern = functools.partial(_mix_kernel, iters=n_iters, nc=nc,
-                                 sched=sched)
+                                 sched=sched, fast=not interpret)
         return jax.jit(lambda x: jnp.float32(pl.pallas_call(
-            kern, grid=(_GRID,), in_specs=[tile], out_specs=tile,
+            kern, grid=(grid,), in_specs=[tile], out_specs=tile,
+            interpret=interpret,
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32))(x)[0, 0]))
 
     best = None
-    # the tail select that consumes the bool carry is one extra budget op
-    per_step = budget_ops + 1
     for nc in (2, 4, 6):
         run1, run2 = make(iters, nc), make(2 * iters, nc)
         float(run1(x)); float(run2(x))
@@ -208,14 +227,21 @@ def _measure_mix_rate_cached(sched: Tuple[str, ...], budget_ops: int,
 
 
 def measure_mix_rate(counts: Dict[str, float], iters: int = 2048,
-                     reps: int = 5) -> float:
+                     reps: int = 5, interpret: bool = None) -> float:
     """Sustained VPU issue rate (budget ops/s) for a register-resident
     dependent chain with the op-class ratio of ``counts`` — the SOL
     denominator.  Chain count swept (2/4/6 independent chains) and the
     best taken: saturation, not dependency latency.  Iteration-count-
-    difference timing (dispatch cancels), median of ``reps``."""
-    sched = _rewrite_schedule(mix_schedule(counts))
-    return _measure_mix_rate_cached(sched, _MIX_BLOCK_OPS, iters, reps)
+    difference timing (dispatch cancels), median of ``reps``.  Off-TPU the
+    kernel runs in the Pallas interpreter (functional smoke only — the
+    returned rate is not a hardware number)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sched, leftover = _rewrite_schedule(mix_schedule(counts))
+    # the tail select consuming the bool is one extra budget op; unpaid
+    # _EXTRA_BASIC debt is extra basic-unit instructions actually executed
+    per_step = _MIX_BLOCK_OPS + 1 + leftover
+    return _measure_mix_rate_cached(sched, per_step, iters, reps, interpret)
 
 
 def sol_report(scene, config, pixels: int,

@@ -147,3 +147,49 @@ def test_prepared_inputs_match_inline(setup):
     with pytest.raises(ValueError, match="block"):
         fit_value_and_grad(params, scene, cam, cfg, target,
                            block_h=16, block_w=128, prep=prep)
+
+
+def test_prep_provenance_checked(setup):
+    """A stale prep passed alongside a DIFFERENT target must raise, not
+    silently compute gradients against the old target (ADVICE r3, medium);
+    target=None explicitly defers to the prep's planes."""
+    from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
+        prepare_fit_inputs)
+    scene, cam, cfg, target = setup
+    params = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 1.0)
+    prep = prepare_fit_inputs(cam, cfg, target, block_h=8, block_w=128)
+
+    other_target = target * 0.5
+    with pytest.raises(ValueError, match="different `target`"):
+        fit_value_and_grad(params, scene, cam, cfg, other_target,
+                           block_h=8, block_w=128, prep=prep)
+
+    # the sanctioned way to say "use the prep's planes"
+    loss_none, _ = fit_value_and_grad(params, scene, cam, cfg, None,
+                                      block_h=8, block_w=128, prep=prep)
+    loss_same, _ = fit_value_and_grad(params, scene, cam, cfg, target,
+                                      block_h=8, block_w=128, prep=prep)
+    assert float(loss_none) == float(loss_same)
+
+
+def test_make_fit_step_pallas_descends(setup):
+    """The user-facing fused fit-step constructor (prep hoisted once) —
+    the code path the headline bench times — descends and matches the
+    un-prepped fused loss on its first step."""
+    from ray_tracer_fragment_shader_tpu.diff.fit import make_fit_step_pallas
+    scene, cam, cfg, target = setup
+    params = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 2.0)
+    opt = optax.adam(0.05)
+    state = opt.init(params)
+    step = make_fit_step_pallas(scene, cam, cfg, target, opt)
+
+    loss_ref, _ = fit_value_and_grad(params, scene, cam, cfg, target)
+    losses = []
+    for _ in range(6):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[0] == pytest.approx(float(loss_ref), rel=1e-6)
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()

@@ -101,6 +101,52 @@ def test_fit_multiview_recovers_geometry():
     assert len(res.restart_losses) == 2
 
 
+def test_stage_gating_never_worsens():
+    """Every stage keeps its best iterate: stage_log must show
+    loss <= loss_entry for all stages (VERDICT r3 item 6 — the old
+    behaviour let hard-polish stages RAISE the loss)."""
+    size = 48
+    scene, camcfg, cfg = presets.fit_target(size=size)
+    views = orbit_views(camcfg, 2, span_deg=80.0)
+    targets = render_views(scene, views, cfg)
+    rng = np.random.RandomState(2)
+    nv = int(np.asarray(scene.sph_valid).sum())
+    dc = np.zeros((scene.num_spheres, 3), np.float32)
+    dc[:nv] = rng.uniform(-4, 4, (nv, 3))
+    init = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + jnp.asarray(dc))
+    res = fit_multiview(scene, views, cfg, targets, init=init,
+                        sizes=(48,), sigmas=(1.5, None),
+                        steps_per_sigma=10, restarts=1, restart_steps=4,
+                        geom_lr=0.4, light_lr=0.5, light_polish_steps=8,
+                        seed=0)
+    assert len(res.stage_log) == 3  # 2 sigma stages + light polish
+    for entry in res.stage_log:
+        assert entry["loss"] <= entry["loss_entry"] + 1e-12, entry
+    assert res.stage_log[-1].get("stage") == "light_polish"
+
+
+def test_light_polish_descends_light_error():
+    """With geometry at truth and only the light perturbed, the light-only
+    polish must reduce the light position error (VERDICT r3 item 5: the
+    round-3 artifact showed light error INCREASING 13.07 -> 16.13)."""
+    size = 48
+    scene, camcfg, cfg = presets.fit_target(size=size)
+    views = orbit_views(camcfg, 2, span_deg=80.0)
+    targets = render_views(scene, views, cfg)
+    init = FitParams.from_scene(scene).replace(
+        light_pos=scene.light_pos + jnp.asarray([[8.0, -6.0, 5.0]],
+                                                jnp.float32))
+    err0 = recovery_report(init, scene)
+    assert err0["light_err_max"] > 10.0
+    res = fit_multiview(scene, views, cfg, targets, init=init,
+                        sizes=(48,), sigmas=(None,), steps_per_sigma=1,
+                        restarts=1, restart_steps=1, geom_lr=0.0,
+                        light_lr=1.0, light_polish_steps=60, seed=0)
+    err1 = recovery_report(res.params, scene)
+    assert err1["light_err_max"] < err0["light_err_max"]
+
+
 def test_recovery_report_zero_at_truth():
     scene, _, _ = _setup(1)
     rep = recovery_report(FitParams.from_scene(scene), scene)
