@@ -92,8 +92,8 @@ def main() -> None:
                   else render_image)
     loss_fn = l2_loss_pallas if backend == "pallas" else l2_loss
 
-    bh = int(os.environ.get("BENCH_BLOCK_H", "32"))
-    bw = int(os.environ.get("BENCH_BLOCK_W", "256"))
+    bh = int(os.environ.get("BENCH_BLOCK_H", "8"))
+    bw = int(os.environ.get("BENCH_BLOCK_W", "512"))
 
     # step-invariant padded input planes (ray dirs, target, mask): prepared
     # once and reused per step, the same configuration a real fit loop gets

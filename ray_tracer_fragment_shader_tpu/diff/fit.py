@@ -88,7 +88,7 @@ def make_fit_step(scene: FlatScene, camera: Camera, config: RenderConfig,
 def make_fit_step_pallas(scene: FlatScene, camera: Camera,
                          config: RenderConfig, target,
                          optimizer: optax.GradientTransformation,
-                         block_h: int = 32, block_w: int = 256,
+                         block_h: int = 8, block_w: int = 512,
                          interpret: Optional[bool] = None):
     """Single-device jitted Adam step on the fused Pallas path
     (single-dispatch forward + L2 loss + in-kernel adjoint).
@@ -174,7 +174,7 @@ def make_sharded_fit_step_pallas(scene: FlatScene, camera: Camera,
                                  optimizer: optax.GradientTransformation,
                                  mesh: Optional[Mesh] = None,
                                  axis: str = TILE_AXIS,
-                                 block_h: int = 32, block_w: int = 256,
+                                 block_h: int = 8, block_w: int = 512,
                                  interpret: Optional[bool] = None):
     """Multi-chip training step on the FAST path (VERDICT r1 item 1): each
     device renders its contiguous row band of the image with the fused

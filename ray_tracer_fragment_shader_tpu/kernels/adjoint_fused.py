@@ -27,6 +27,7 @@ branch-heavy shading (Hw4/MySdlApplication.cpp:1184-1249).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -40,8 +41,9 @@ from ..diff.fit import FitParams
 from ..ops.rays import Camera, primary_rays, screen_points
 from ..scene.flat import FlatScene
 from ..utils import fastmath
-from .render_pallas import (_pad_img, compact_scene, kernel_compiler_params,
-                            pack_scene, render_forward_with_residuals)
+from .render_pallas import (_pad_img, _sweep_loop, compact_scene,
+                            kernel_compiler_params, pack_scene,
+                            render_forward_with_residuals)
 
 # Diff-table layouts (rows = entity, cols = packed fields)
 SPHD_COLS = 8    # cx cy cz r - - - -
@@ -388,12 +390,20 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
                        gr, gg, gb,
                        *, ns: int, nt: int, m: int, nl: int, depth: int,
                        atten: float, want_trans: bool, shape,
-                       fast_recip: bool = False):
+                       fast_recip: bool = False, ov_at=None):
     """The replay adjoint for one tile: given per-level residual accessors
     (``bi_at(lv)``, ``mid_at(lv)``, ``lit_at(li, lv)`` -> [BH,BW] planes —
     HBM-loaded refs in the two-phase backward kernel, VMEM scratch in the
     fused fwd+bwd kernel) and the L2 cotangent planes, returns the per-tile
     gradient tables (dsph, dmat, dlight).
+
+    ``ov_at(lv) -> 6 planes (ox oy oz vx vy vz)``: each level's input ray,
+    recorded by the forward into VMEM scratch (render_pallas::
+    _chain_forward's ov refs).  When given, the adjoint's own primal
+    ray-chain phase is skipped entirely — per-level records are re-derived
+    lazily inside the reverse loop from the recorded rays, which both
+    removes the duplicated chain arithmetic and shrinks the reverse
+    sweep's live set (the ~25-plane records exist one level at a time).
 
     The adjoint is HAND-WRITTEN (no ``jax.vjp``): a lean primal sweep keeps
     exactly the intermediates the reverse needs, every
@@ -428,8 +438,7 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
                     jnp.where(sel, tri_ref[i, 5], c[2]),
                     jnp.where(sel, tri_ref[i, 16], c[3]))
 
-        tnx, tny, tnz, tnv0 = jax.lax.fori_loop(
-            0, nt, tri_attr, (full(0.0),) * 4)
+        tnx, tny, tnz, tnv0 = _sweep_loop(nt, tri_attr, (full(0.0),) * 4)
 
         def mat_attr(j, c):
             sel = midl == j.astype(f32)
@@ -439,8 +448,8 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
                     jnp.where(sel, mat_ref[j, 12], c[3]),
                     jnp.where(sel, mat_ref[j, 15], c[4]))
 
-        trn_r, trn_g, trn_b, rho, t_any = jax.lax.fori_loop(
-            0, m, mat_attr, (full(0.0),) * 5)
+        trn_r, trn_g, trn_b, rho, t_any = _sweep_loop(
+            m, mat_attr, (full(0.0),) * 5)
         take_t = t_any > 0.5
         lits = [lit_at(li, lv) > 0.5 for li in range(nl)]
         consts.append(dict(bik=bik, midl=midl, hitm=hitm, is_tri=is_tri,
@@ -501,28 +510,40 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
     # per-node helper _node_primal) but skips the color accumulation (never
     # needed — the forward kernel produced the image) and keeps every
     # intermediate the reverse sweep consumes.
+    #
+    # RTFS_BWD_RECOMPUTE=1 (trace-time knob): keep only each level's
+    # (o, v) ray — 6 planes/level instead of the ~25-plane primal record —
+    # and re-derive the record inside the reverse loop with one extra
+    # _node_primal per level.  Trades ~15% more backward arithmetic for a
+    # ~4x smaller live set across the reverse sweep (the fused kernel's
+    # register-pressure experiment; values are bit-identical — same
+    # inputs, same math).
+    recompute = os.environ.get("RTFS_BWD_RECOMPUTE", "0") == "1"
     P = []
-    o = (full(eye[0]), full(eye[1]), full(eye[2]))
-    v = (vx0, vy0, vz0)
-    for lv in range(depth + 1):
-        c = consts[lv]
-        hitm = c["hitm"]
-        want_snell = lv < depth and want_trans
-        rec, p, r_dir, t_dir = _node_primal(
-            c, gath[lv], lp, o, v, nl=nl, atten=atten,
-            want_snell=want_snell, fast_recip=fast_recip)
-        if lv < depth:
-            if want_trans:
-                take_t = c["take_t"]
-                nv = tuple(jnp.where(take_t, t, r)
-                           for t, r in zip(t_dir, r_dir))
-            else:
-                # no transmitting material (static): the chain always
-                # reflects — bit-identical to the gated selects above
-                nv = r_dir
-            v = tuple(jnp.where(hitm, nvi, 0.0) for nvi in nv)
-            o = p
-        P.append(rec)
+    OV = []
+    if ov_at is None:
+        o = (full(eye[0]), full(eye[1]), full(eye[2]))
+        v = (vx0, vy0, vz0)
+        for lv in range(depth + 1):
+            c = consts[lv]
+            hitm = c["hitm"]
+            want_snell = lv < depth and want_trans
+            OV.append((o, v))
+            rec, p, r_dir, t_dir = _node_primal(
+                c, gath[lv], lp, o, v, nl=nl, atten=atten,
+                want_snell=want_snell, fast_recip=fast_recip)
+            if lv < depth:
+                if want_trans:
+                    take_t = c["take_t"]
+                    nv = tuple(jnp.where(take_t, t, r)
+                               for t, r in zip(t_dir, r_dir))
+                else:
+                    # no transmitting material (static): the chain always
+                    # reflects — bit-identical to the gated selects above
+                    nv = r_dir
+                v = tuple(jnp.where(hitm, nvi, 0.0) for nvi in nv)
+                o = p
+            P.append(None if recompute else rec)
 
     # ---- hand-written reverse sweep ---------------------------------------
     # Cotangents flow level depth -> 0; the per-node math lives in
@@ -535,7 +556,20 @@ def _adjoint_tile_body(tri_ref, mat_ref, light_ref,
     vbx = vby = vbz = full(0.0)   # cotangent of next level's v input
     for lv in range(depth, -1, -1):
         c = consts[lv]
-        rec = P[lv]
+        if ov_at is not None:
+            planes = ov_at(lv)
+            rec, _, _, _ = _node_primal(
+                c, gath[lv], lp, planes[0:3], planes[3:6], nl=nl,
+                atten=atten, want_snell=(lv < depth and want_trans),
+                fast_recip=fast_recip)
+        elif recompute:
+            o_lv, v_lv = OV[lv]
+            rec, _, _, _ = _node_primal(
+                c, gath[lv], lp, o_lv, v_lv, nl=nl, atten=atten,
+                want_snell=(lv < depth and want_trans),
+                fast_recip=fast_recip)
+        else:
+            rec = P[lv]
         hitm = c["hitm"]
         nx, ny, nz = rec["nx"], rec["ny"], rec["nz"]
 
@@ -664,8 +698,7 @@ def _adjoint_tree_tile_body(tri_ref, mat_ref, light_ref,
                     jnp.where(sel, tri_ref[i, 5], c[2]),
                     jnp.where(sel, tri_ref[i, 16], c[3]))
 
-        tnx, tny, tnz, tnv0 = jax.lax.fori_loop(
-            0, nt, tri_attr, (full(0.0),) * 4)
+        tnx, tny, tnz, tnv0 = _sweep_loop(nt, tri_attr, (full(0.0),) * 4)
 
         def mat_attr(j, c):
             sel = midl == j.astype(f32)
@@ -674,8 +707,8 @@ def _adjoint_tree_tile_body(tri_ref, mat_ref, light_ref,
             return tuple(jnp.where(sel, mat_ref[j, k], c[q])
                          for q, k in enumerate((9, 10, 11, 12, 13, 14)))
 
-        trn_r, trn_g, trn_b, rho, take_f_m, refl_f_m = jax.lax.fori_loop(
-            0, m, mat_attr, (full(0.0),) * 6)
+        trn_r, trn_g, trn_b, rho, take_f_m, refl_f_m = _sweep_loop(
+            m, mat_attr, (full(0.0),) * 6)
         lits = [lit_at(li, idx) > 0.5 for li in range(nl)]
         c = dict(bik=bik, midl=midl, hitm=hitm, is_tri=is_tri,
                  tn=(tnx, tny, tnz), tnv0=tnv0,
@@ -809,7 +842,8 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                           small: float, atten: float,
                           white_id: int, black_id: int,
                           want_trans: bool, fast_recip: bool,
-                          g_scale: float, tree: bool = False):
+                          g_scale: float, tree: bool = False,
+                          share_ov: bool = False):
     """Single-kernel forward + L2 loss + replay adjoint (ROADMAP r2->3 #1):
     the tile is rendered with the chain forward (or, for fractional-
     transparency scenes, the full bounce-tree forward, ``tree=True``), the
@@ -828,13 +862,16 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip)
+                         fast_recip=fast_recip, all_opaque=not want_trans)
     eye = (misc_ref[0], misc_ref[1], misc_ref[2])
     vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
     fwd = _tree_forward if tree else _chain_forward
+    # share_ov: the last 6 scratch refs record each level's input ray so
+    # the adjoint below skips its own primal ray-chain phase (ov_at)
+    lits, ovs = lit_scrs[:nl], lit_scrs[nl:]
     col_r, col_g, col_b = fwd(
         ops, eye, vx0, vy0, vz0, nl=nl, depth=depth, want_trans=want_trans,
-        res_refs=(bi_scr, mid_scr) + lit_scrs)
+        res_refs=(bi_scr, mid_scr) + lits + ovs)
 
     # Mask applied ONCE: the tile loss is sum(mask * diff^2) and the
     # cotangent is g_scale * mask * diff, so the returned gradient is exactly
@@ -863,10 +900,12 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             eye, vx0, vy0, vz0,
             bi_at=lambda lv: bi_scr[lv],
             mid_at=lambda lv: mid_scr[lv],
-            lit_at=lambda li, lv: lit_scrs[li][lv],
+            lit_at=lambda li, lv: lits[li][lv],
             gr=g_scale * dr, gg=g_scale * dg, gb=g_scale * db,
             ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
-            want_trans=want_trans, shape=shape, fast_recip=fast_recip)
+            want_trans=want_trans, shape=shape, fast_recip=fast_recip,
+            ov_at=(lambda lv: tuple(ovs[k][lv] for k in range(6)))
+            if share_ov else None)
 
     # (1,1)-shaped stores: Mosaic VMEM cannot store bare scalars
     tile_loss = tile_loss[None, None]
@@ -893,7 +932,7 @@ def _recompute_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                           small: float, atten: float,
                           white_id: int, black_id: int,
                           want_trans: bool, fast_recip: bool,
-                          tree: bool = False):
+                          tree: bool = False, share_ov: bool = False):
     """Recompute-forward + replay-adjoint in one dispatch, with the
     cotangent supplied externally (``gr/gg/gb`` planes) instead of derived
     from a target in-kernel.  This is the per-sample backward of the
@@ -909,13 +948,16 @@ def _recompute_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip)
+                         fast_recip=fast_recip, all_opaque=not want_trans)
     eye = (misc_ref[0], misc_ref[1], misc_ref[2])
     vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
-    # forward re-trace (colors discarded; only the residual scratch matters)
+    # forward re-trace (colors discarded; only the residual scratch matters).
+    # share_ov: 6 extra scratch refs record each level's input ray so the
+    # chain adjoint skips its primal phase (ov_at).
+    lits, ovs = lit_scrs[:nl], lit_scrs[nl:]
     fwd = _tree_forward if tree else _chain_forward
     fwd(ops, eye, vx0, vy0, vz0, nl=nl, depth=depth, want_trans=want_trans,
-        res_refs=(bi_scr, mid_scr) + lit_scrs)
+        res_refs=(bi_scr, mid_scr) + lits + ovs)
     if tree:
         dsph, dmat, dlight = _adjoint_tree_tile_body(
             tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
@@ -932,16 +974,18 @@ def _recompute_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
             eye, vx0, vy0, vz0,
             bi_at=lambda lv: bi_scr[lv],
             mid_at=lambda lv: mid_scr[lv],
-            lit_at=lambda li, lv: lit_scrs[li][lv],
+            lit_at=lambda li, lv: lits[li][lv],
             gr=gr_ref[:], gg=gg_ref[:], gb=gb_ref[:],
             ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
-            want_trans=want_trans, shape=shape, fast_recip=fast_recip)
+            want_trans=want_trans, shape=shape, fast_recip=fast_recip,
+            ov_at=(lambda lv: tuple(ovs[k][lv] for k in range(6)))
+            if share_ov else None)
     _accumulate_grid(dsph, dmat, dlight, dsph_ref, dmat_ref, dlight_ref)
 
 
 def recompute_grads_pallas(scene: FlatScene, camera: Camera,
                            config: RenderConfig, g,
-                           block_h: int = 32, block_w: int = 256,
+                           block_h: int = 8, block_w: int = 512,
                            interpret: Optional[bool] = None,
                            pts: Optional[Any] = None) -> Dict[str, Any]:
     """Single-dispatch backward with an external cotangent ``g`` [H,W,3]:
@@ -978,13 +1022,15 @@ def recompute_grads_pallas(scene: FlatScene, camera: Camera,
     gg = _pad_img(g[..., 1].reshape(-1), h, w, block_h, block_w)
     gb = _pad_img(g[..., 2].reshape(-1), h, w, block_h, block_w)
 
+    share_ov = (not tree
+                and os.environ.get("RTFS_FWD_OV", "0") == "1")
     kernel = functools.partial(
         _recompute_bwd_kernel, ns=ns, nt=packed["tri"].shape[0], m=m, nl=nl,
         depth=depth, small=config.small_number,
         atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
         want_trans=bool(scene.has_transmission), fast_recip=not interpret,
-        tree=tree)
+        tree=tree, share_ov=share_ov)
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1007,7 +1053,7 @@ def recompute_grads_pallas(scene: FlatScene, camera: Camera,
                    jax.ShapeDtypeStruct((max(m, 1), MATD_COLS), jnp.float32),
                    jax.ShapeDtypeStruct((max(nl, 1), LIGHTD_COLS),
                                         jnp.float32)],
-        scratch_shapes=[res_scr] * (2 + nl),
+        scratch_shapes=[res_scr] * (2 + nl + (6 if share_ov else 0)),
         interpret=interpret,
         compiler_params=None if interpret else kernel_compiler_params(),
     )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
@@ -1029,7 +1075,7 @@ def _pad_tile3(x, h, w, block_h, block_w, fill):
 
 def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
                      residuals: Dict[str, Any], g,
-                     block_h: int = 32, block_w: int = 256,
+                     block_h: int = 8, block_w: int = 512,
                      interpret: Optional[bool] = None,
                      pts: Optional[Any] = None) -> Dict[str, Any]:
     """Run the backward kernel; returns gradient tables for the *compacted*
@@ -1123,7 +1169,7 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
 
 def prepare_fit_inputs(camera: Camera, config: RenderConfig, target,
                        mask: Optional[Any] = None,
-                       block_h: int = 32, block_w: int = 256,
+                       block_h: int = 8, block_w: int = 512,
                        pts: Optional[Any] = None) -> Dict[str, Any]:
     """Precompute the padded per-pixel input planes of the fused fwd+bwd
     kernel: primary-ray directions, target RGB and the pixel mask —
@@ -1185,7 +1231,7 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
                             config: RenderConfig, target,
                             mask: Optional[Any] = None,
                             denom: Optional[float] = None,
-                            block_h: int = 32, block_w: int = 256,
+                            block_h: int = 8, block_w: int = 512,
                             interpret: Optional[bool] = None,
                             pts: Optional[Any] = None,
                             prep: Optional[Dict[str, Any]] = None):
@@ -1239,13 +1285,21 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
     tr, tg, tb, mask = prep["tr"], prep["tg"], prep["tb"], prep["mask"]
     ph, pw = vx.shape
 
+    # chain scenes: the forward CAN record each level's input ray into 6
+    # extra scratch planes so the adjoint skips its primal phase
+    # (RTFS_FWD_OV=1).  Measured SLOWER on v5e (the scratch write+read
+    # round-trip costs more than the recomputed primal: 3.20 -> 3.45 ms at
+    # 1024^2 d3, scripts notes in PERF.md), so default OFF; kept as the
+    # A/B knob documenting the negative result.
+    share_ov = (not tree
+                and os.environ.get("RTFS_FWD_OV", "0") == "1")
     kernel = functools.partial(
         _fused_fwd_bwd_kernel, ns=ns, nt=packed["tri"].shape[0], m=m, nl=nl,
         depth=depth, small=config.small_number,
         atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
         want_trans=bool(scene.has_transmission), fast_recip=not interpret,
-        g_scale=2.0 / denom, tree=tree)
+        g_scale=2.0 / denom, tree=tree, share_ov=share_ov)
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1271,7 +1325,7 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
                    jax.ShapeDtypeStruct((max(m, 1), MATD_COLS), jnp.float32),
                    jax.ShapeDtypeStruct((max(nl, 1), LIGHTD_COLS),
                                         jnp.float32)],
-        scratch_shapes=[res_scr] * (2 + nl),
+        scratch_shapes=[res_scr] * (2 + nl + (6 if share_ov else 0)),
         interpret=interpret,
         compiler_params=None if interpret else kernel_compiler_params(),
     )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
@@ -1318,7 +1372,7 @@ def grads_to_fitparams(params: FitParams, scene_full: FlatScene,
 
 def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                        config: RenderConfig, target,
-                       block_h: int = 32, block_w: int = 256,
+                       block_h: int = 8, block_w: int = 512,
                        interpret: Optional[bool] = None, key=None,
                        single_kernel: bool = True,
                        prep: Optional[Dict[str, Any]] = None):

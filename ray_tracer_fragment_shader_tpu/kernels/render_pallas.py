@@ -41,11 +41,12 @@ BIG = 3.0e38
 
 # Mosaic scoped-VMEM ceiling for every render/adjoint kernel.  The default
 # 16 MiB scoped limit exists to leave double-buffering headroom for
-# HBM-streaming kernels; these kernels move ~24 B/pixel against ~12k VPU
+# HBM-streaming kernels; these kernels move ~24 B/pixel against ~11k VPU
 # slots/pixel (compute-bound by 3 orders), so trading pipelining headroom
-# for larger tiles is free — and larger tiles amortize the per-fori_loop-
-# iteration scalar-core bookkeeping that dominates the gap to speed of
-# light at 32x256 (PERF.md section 6).  v5e has 128 MiB of VMEM.
+# for larger tiles is free.  (Per-fori-iteration scalar bookkeeping is no
+# longer the block-size driver — the sweeps unroll, see _sweep_loop; the
+# round-4 tile sweep picked 8x512 for both fwd and fwd+bwd.)  v5e has
+# 128 MiB of VMEM.
 VMEM_LIMIT_BYTES = int(os.environ.get("RTFS_VMEM_LIMIT_MB", "100")) * 2**20
 
 
@@ -158,14 +159,60 @@ def pack_scene(scene: FlatScene) -> Dict[str, Any]:
     return dict(sph=sph, tri=tri, mat=mat, light=light, misc=misc)
 
 
+# full-unroll threshold and partial-unroll factor for _sweep_loop's "auto"
+_SWEEP_FULL_MAX = 32
+_SWEEP_CHUNK = 8
+
+
+def _sweep_loop(n, body, init):
+    """The primitive/material sweep loop of the tile kernels.
+
+    Per-iteration fori_loop bookkeeping (loop branch + dynamic SMEM
+    addressing on the scalar core) measured 27% of the FORWARD step at
+    32x256 (scripts/unroll_probe.py: 3.08 -> 2.23 ms at 1024^2 depth 3),
+    so the default policy "auto" unrolls: fully for small trip counts
+    (constant SMEM addresses, straight-line code), and in chunks of
+    ``_SWEEP_CHUNK`` for large ones (64-sphere scenes) so the Mosaic
+    program stays bounded while bookkeeping amortizes 8x.  Values are
+    bit-identical in every mode (same op order).  Trace-time knob
+    ``RTFS_SWEEP_UNROLL``: "auto" (default), "1" = always full,
+    "0" = plain fori_loop (the A/B baseline)."""
+    mode = os.environ.get("RTFS_SWEEP_UNROLL", "auto")
+    if mode == "0":
+        return jax.lax.fori_loop(0, n, body, init)
+    if mode == "1" or n <= _SWEEP_FULL_MAX:
+        c = init
+        for i in range(n):
+            c = body(jnp.int32(i), c)
+        return c
+    k = _SWEEP_CHUNK
+    main = n - n % k
+
+    def block(b, c):
+        i0 = b * k
+        for d in range(k):
+            c = body(i0 + d, c)
+        return c
+
+    c = jax.lax.fori_loop(0, main // k, block, init)
+    for i in range(main, n):
+        c = body(jnp.int32(i), c)
+    return c
+
+
 def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
                    *, ns: int, nt: int, m: int, nl: int,
                    small: float, atten: float,
-                   white_id: int, black_id: int, fast_recip: bool):
+                   white_id: int, black_id: int, fast_recip: bool,
+                   all_opaque: bool = False):
     """Shared per-tile primitives for the chain and tree kernels: closest-hit
     sweep, winning-primitive/material gathers, secondary directions, and the
     shadow+Phong shading loop.  All functions operate on [BH,BW] f32 planes
-    held in vector registers/VMEM."""
+    held in vector registers/VMEM.
+
+    ``all_opaque`` (static): no scene material is transparent, so shadow
+    sweeps run in any-hit mode (no nearest-occluder ordering — see
+    ``intersect_all``).  Callers pass ``not scene.has_transmission``."""
     f32 = jnp.float32
 
     def full(x):
@@ -180,21 +227,30 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
         return fastmath.recip(den, fast_recip)
 
     def intersect_all(ox, oy, oz, vx, vy, vz, excl, ray_ok,
-                      carry_transp=False):
+                      carry_transp=False, any_hit=False):
         """Closest hit over all primitives (triangles first: insertion-order
         tie-breaking like Shape::intersection's strict <).
 
         ``carry_transp``: carry the winner's material transparency-nonzero
         flag instead of its primitive id (shadow queries need only that,
-        MySdlApplication.cpp:1221 — saves the post-sweep attribute loops)."""
+        MySdlApplication.cpp:1221 — saves the post-sweep attribute loops).
+        ``any_hit``: return only an occluded mask (f32 0/1 plane) — no
+        distance ordering, no winner tracking.  Valid ONLY for all-opaque
+        scenes, where "lit = nearest occluder missing or transparent"
+        (MySdlApplication.cpp:1221) degenerates to "lit = no occluder":
+        with no transparent material the nearest-occluder identity cannot
+        change the answer.  Saves the per-primitive dist/argmin selects of
+        the shadow sweeps.  (The accumulator is an f32 plane, not bool —
+        i1 vector fori_loop carries are Mosaic-illegal.)"""
         vlen2 = vx * vx + vy * vy + vz * vz
         ok = jnp.logical_and(ray_ok, vlen2 > 0.0)
         inv_vlen = jax.lax.rsqrt(jnp.where(ok, vlen2, 1.0))
         vlen = vlen2 * inv_vlen  # sqrt(x) = x * rsqrt(x)
         ux, uy, uz = vx * inv_vlen, vy * inv_vlen, vz * inv_vlen
 
-        def tri_body(i, carry):
-            bd, bi = carry
+        def tri_hit(i):
+            """(hit, mm): the hit predicate and parametric distance of
+            triangle ``i`` — shared by the closest-hit and any-hit modes."""
             nx, ny, nz = tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]
             ndv = nx * vx + ny * vy + nz * vz
             plane_ok = jnp.abs(ndv) >= small
@@ -210,17 +266,14 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
             inv_den = 1.0 / tri_ref[i, 15]
             sb = (uv * wv - vv_ * wu) * inv_den
             tb = (uv * wu - uu * wv) * inv_den
-            i_f = i.astype(f32)
             hit = (plane_ok & (mm >= small) & (sb >= 0.0) & (tb >= 0.0)
-                   & (sb + tb <= 1.0) & ok & (excl != i_f)
+                   & (sb + tb <= 1.0) & ok & (excl != i.astype(f32))
                    & (tri_ref[i, 19] > 0.5))
-            dist = jnp.where(hit, mm * vlen, BIG)
-            upd = dist < bd
-            win = tri_ref[i, 20] if carry_transp else i_f
-            return jnp.where(upd, dist, bd), jnp.where(upd, win, bi)
+            return hit, mm
 
-        def sph_body(i, carry):
-            bd, bi = carry
+        def sph_hit(i):
+            """(hit, s): hit predicate and Euclidean distance of sphere
+            ``i`` (near root only, like Shape::intersection :752)."""
             dx = sph_ref[i, 0] - ox
             dy = sph_ref[i, 1] - oy
             dz = sph_ref[i, 2] - oz
@@ -229,16 +282,42 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
             disc = ud * ud - (dx * dx + dy * dy + dz * dz) + rad * rad
             disc_ok = disc > 0.0
             s = ud - jnp.sqrt(jnp.where(disc_ok, disc, 1.0)) * jnp.where(disc_ok, 1.0, 0.0)
-            i_f = (i + nt).astype(f32)
-            hit = ((disc >= 0.0) & (s >= small) & ok & (excl != i_f)
+            hit = ((disc >= 0.0) & (s >= small) & ok
+                   & (excl != (i + nt).astype(f32))
                    & (sph_ref[i, 5] > 0.5))
-            dist = jnp.where(hit, s, BIG)
+            return hit, s
+
+        if any_hit:
+            def tri_body_any(i, acc):
+                hit, _ = tri_hit(i)
+                return jnp.where(hit, 1.0, acc)
+
+            def sph_body_any(i, acc):
+                hit, _ = sph_hit(i)
+                return jnp.where(hit, 1.0, acc)
+
+            occ = _sweep_loop(nt, tri_body_any, full(0.0))
+            occ = _sweep_loop(ns, sph_body_any, occ)
+            return occ
+
+        def tri_body(i, carry):
+            bd, bi = carry
+            hit, mm = tri_hit(i)
+            dist = jnp.where(hit, mm * vlen, BIG)
             upd = dist < bd
-            win = sph_ref[i, 6] if carry_transp else i_f
+            win = tri_ref[i, 20] if carry_transp else i.astype(f32)
             return jnp.where(upd, dist, bd), jnp.where(upd, win, bi)
 
-        bd, bi = jax.lax.fori_loop(0, nt, tri_body, (full(BIG), full(-1.0)))
-        bd, bi = jax.lax.fori_loop(0, ns, sph_body, (bd, bi))
+        def sph_body(i, carry):
+            bd, bi = carry
+            hit, s = sph_hit(i)
+            dist = jnp.where(hit, s, BIG)
+            upd = dist < bd
+            win = sph_ref[i, 6] if carry_transp else (i + nt).astype(f32)
+            return jnp.where(upd, dist, bd), jnp.where(upd, win, bi)
+
+        bd, bi = _sweep_loop(nt, tri_body, (full(BIG), full(-1.0)))
+        bd, bi = _sweep_loop(ns, sph_body, (bd, bi))
         return bd, bi, ux, uy, uz, vlen
 
     def hit_attrs(bd, bi, hitm, ox, oy, oz, ux, uy, uz):
@@ -262,10 +341,10 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
                     jnp.where(sel, sph_ref[i, 3], rad),
                     jnp.where(sel, sph_ref[i, 4], mid))
 
-        tnx, tny, tnz, tmid, tchk = jax.lax.fori_loop(
-            0, nt, tri_attr, (full(0.0),) * 5)
-        scx, scy, scz, srad, smid = jax.lax.fori_loop(
-            0, ns, sph_attr, (full(0.0),) * 5)
+        tnx, tny, tnz, tmid, tchk = _sweep_loop(nt, tri_attr,
+                                                (full(0.0),) * 5)
+        scx, scy, scz, srad, smid = _sweep_loop(ns, sph_attr,
+                                                (full(0.0),) * 5)
 
         is_tri = bi < nt
         # hit point (bd holds the Euclidean distance for both primitive
@@ -316,7 +395,7 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
             out.append(jnp.where(sel, mat_ref[j, 14], c[14]))  # refl_ok
             return tuple(out)
 
-        return jax.lax.fori_loop(0, m, mat_attr, (full(0.0),) * 15)
+        return _sweep_loop(m, mat_attr, (full(0.0),) * 15)
 
     def secondary_dirs(ux, uy, uz, nx, ny, nz, rho, want_trans=True):
         """Reflected + transmitted (Snell, TIR-guarded) unit-scale dirs.
@@ -353,12 +432,20 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
             lx, ly, lz = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
             lr, lg, lb = light_ref[li, 3], light_ref[li, 4], light_ref[li, 5]
             svx, svy, svz = lx - px, ly - py, lz - pz
-            # the sweep carries the nearest occluder's transparency flag
-            # directly (checker squares are opaque; the override never
-            # changes the transparency-nonzero flag)
-            sd, occ_transp, _sux, _suy, _suz, _svlen = intersect_all(
-                px, py, pz, svx, svy, svz, bi, hitm, carry_transp=True)
-            lit = jnp.logical_or(sd >= BIG, occ_transp > 0.5)
+            if all_opaque:
+                # no transparent material exists: "nearest occluder
+                # transparent" can never fire, so lit = no occluder —
+                # the cheap any-hit sweep suffices
+                occ = intersect_all(px, py, pz, svx, svy, svz, bi, hitm,
+                                    any_hit=True)
+                lit = occ < 0.5
+            else:
+                # the sweep carries the nearest occluder's transparency flag
+                # directly (checker squares are opaque; the override never
+                # changes the transparency-nonzero flag)
+                sd, occ_transp, _sux, _suy, _suz, _svlen = intersect_all(
+                    px, py, pz, svx, svy, svz, bi, hitm, carry_transp=True)
+                lit = jnp.logical_or(sd >= BIG, occ_transp > 0.5)
             if lit_hook is not None:
                 lit_hook(li, lit)
 
@@ -385,15 +472,22 @@ def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
     accumulated (col_r, col_g, col_b) planes.  When ``res_refs`` is given
     (bi, mid, lit_0..lit_{nl-1} refs of shape [depth+1, BH, BW] — output refs
     of the residual forward or VMEM scratch of the fused fwd+bwd kernel) the
-    fixed-topology residuals are written per level."""
+    fixed-topology residuals are written per level.  Six MORE refs
+    (ox oy oz vx vy vz) may follow the lit refs: each level's INPUT ray is
+    then also recorded, letting the fused adjoint skip its own primal
+    ray-chain phase entirely (kernels/adjoint_fused.py, ``ov_at``)."""
     full = ops.full
     with_residuals = bool(res_refs)
+    ov_refs = res_refs[2 + nl:] if with_residuals else ()
 
     # ---- per-ray state (the chain carry); the bounce-level loop is a
     # fori_loop so the Mosaic program stays small regardless of depth ----
     def level_body(_level, carry):
         (ox, oy, oz, vx, vy, vz, thr_r, thr_g, thr_b,
          col_r, col_g, col_b, excl, alive_f) = carry
+        if ov_refs:
+            for ref, plane in zip(ov_refs, (ox, oy, oz, vx, vy, vz)):
+                ref[_level] = plane
         alive = alive_f > 0.5
         bd, bi, ux, uy, uz, _vlen = ops.intersect_all(ox, oy, oz, vx, vy, vz,
                                                       excl, alive)
@@ -463,7 +557,7 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip)
+                         fast_recip=fast_recip, all_opaque=not want_trans)
     eye = (misc_ref[0], misc_ref[1], misc_ref[2])
     col_r, col_g, col_b = _chain_forward(
         ops, eye, vx_ref[:], vy_ref[:], vz_ref[:], nl=nl, depth=depth,
@@ -559,7 +653,7 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip)
+                         fast_recip=fast_recip, all_opaque=not want_trans)
     col = _tree_forward(ops, (misc_ref[0], misc_ref[1], misc_ref[2]),
                         vx_ref[:], vy_ref[:], vz_ref[:], nl=nl, depth=depth,
                         want_trans=want_trans,
@@ -580,7 +674,7 @@ def _pad_to(x, mult, axis):
 
 
 def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
-                        key=None, block_h: int = 32, block_w: int = 256,
+                        key=None, block_h: int = 8, block_w: int = 512,
                         interpret: bool = None, pts=None):
     """Full-frame Pallas render -> [H,W,3] (j=0 bottom, like the core).
 
@@ -735,7 +829,7 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
 
 
 def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig,
-                                  block_h: int = 32, block_w: int = 256,
+                                  block_h: int = 8, block_w: int = 512,
                                   interpret: bool = None, pts=None):
     """Single-sample forward returning (img, fixed-topology residuals) for
     the replay adjoint (kernels/adjoint.py).

@@ -30,7 +30,7 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 def scaling_sweep(scene, camera, config, mesh_sizes: Optional[List[int]] = None,
                   iters: int = 4, backend: str = "pallas",
-                  block_h: int = 32, block_w: int = 256, reps: int = 3):
+                  block_h: int = 8, block_w: int = 512, reps: int = 3):
     """Strong-scaling sweep of the sharded fwd+bwd step over growing mesh
     sizes.  Returns a list of dicts (n, step_time_s, rays_per_s, efficiency
     vs the smallest mesh).  Efficiency numbers are only meaningful on real

@@ -57,7 +57,7 @@ def band_split(height: int, n_shards: int):
 def render_image_sharded(scene: FlatScene, camera: Camera,
                          config: RenderConfig, mesh: Optional[Mesh] = None,
                          axis: str = TILE_AXIS, backend: str = "core",
-                         block_h: int = 32, block_w: int = 256,
+                         block_h: int = 8, block_w: int = 512,
                          interpret: Optional[bool] = None):
     """Full-frame render with pixel tiles sharded over the mesh -> [H,W,3].
 

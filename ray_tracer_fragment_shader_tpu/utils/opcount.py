@@ -122,10 +122,11 @@ def _walk(jaxpr, mult: float, pixel_size: int, counts: Dict[str, float]):
                 _classify(eqn, mult, pixel_size, counts)
 
 
-def jaxpr_slot_counts(fn, *args, pixel_size: int) -> Dict[str, float]:
+def jaxpr_slot_counts(fn, *args, pixel_size: int, return_jaxpr: bool = False):
     """Per-pixel op counts {class: count} of ``fn(*args)`` after DCE.
     ``fastmath.COUNT_MODE`` is enabled during tracing so reciprocal sites
-    trace as their marker primitive."""
+    trace as their marker primitive.  ``return_jaxpr``: also return the
+    DCE'd jaxpr (for the live-plane analysis)."""
     from . import fastmath
     fastmath.COUNT_MODE[0] = True
     try:
@@ -137,7 +138,51 @@ def jaxpr_slot_counts(fn, *args, pixel_size: int) -> Dict[str, float]:
                             [True] * len(closed.jaxpr.outvars))
     counts: Dict[str, float] = {}
     _walk(jaxpr, 1.0, pixel_size, counts)
+    if return_jaxpr:
+        return counts, jaxpr
     return counts
+
+
+def _live_planes(jaxpr, pixel_size: int) -> int:
+    """Approximate MAX simultaneously-live tile-sized values ("planes")
+    across ``jaxpr`` in traced order — the working-set estimate the
+    register-pressure model term reads off the measured rate-vs-live
+    curve (scripts/pressure_probe.py).  Mosaic may reschedule, so this is
+    an estimate of scheduling pressure, not an exact register count.
+    Scan bodies contribute (outer live at the scan site + body max)."""
+    def is_plane(v):
+        shape = getattr(getattr(v, "aval", None), "shape", None)
+        return shape is not None and int(np.prod(shape)) >= pixel_size
+
+    last_use: Dict[int, int] = {}
+    n = len(jaxpr.eqns)
+    for t, eqn in enumerate(jaxpr.eqns):
+        for v in eqn.invars:
+            if not hasattr(v, "count"):
+                continue  # literals
+            last_use[id(v)] = t
+    for v in jaxpr.outvars:
+        if hasattr(v, "count"):
+            last_use[id(v)] = n
+    live = {id(v) for v in jaxpr.invars
+            if is_plane(v) and id(v) in last_use}
+    peak = len(live)
+    for t, eqn in enumerate(jaxpr.eqns):
+        inner = 0
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):
+                inner = max(inner, _live_planes(v.jaxpr, pixel_size))
+        if eqn.primitive.name == "scan":
+            inner = max(inner, _live_planes(eqn.params["jaxpr"].jaxpr,
+                                            pixel_size))
+        for v in eqn.outvars:
+            if is_plane(v) and id(v) in last_use:
+                live.add(id(v))
+        peak = max(peak, len(live) + inner)
+        for v in eqn.invars:
+            if hasattr(v, "count") and last_use.get(id(v)) == t:
+                live.discard(id(v))
+    return peak
 
 
 # ---------------------------------------------------------------------------
@@ -149,8 +194,7 @@ _TRACE_SHAPE = (8, 256)  # larger than every scene table => exact size test
 
 @functools.lru_cache(maxsize=16)
 def _counts_cached(ns, nt, m, nl, want_trans, depth, atten, small,
-                   white_id, black_id) -> Tuple[Dict[str, float],
-                                                Dict[str, float]]:
+                   white_id, black_id, share_ov):
     # The traced program depends only on the table SHAPES and the static
     # flags, never on the values — dummy tables suffice.
     import jax.numpy as jnp
@@ -174,14 +218,16 @@ def _counts_cached(ns, nt, m, nl, want_trans, depth, atten, small,
         ops = _make_tile_ops(sph, tri, mat, light, misc, shape,
                              ns=ns, nt=nt, m=m, nl=nl, small=small,
                              atten=atten, white_id=white_id,
-                             black_id=black_id, fast_recip=True)
+                             black_id=black_id, fast_recip=True,
+                             all_opaque=not want_trans)
         return _chain_forward(ops, (misc[0], misc[1], misc[2]), vx, vy, vz,
                               nl=nl, depth=depth, want_trans=want_trans)
 
-    fwd = jaxpr_slot_counts(
+    fwd, fwd_jaxpr = jaxpr_slot_counts(
         fwd_fn, packed["sph"], packed["tri"], packed["mat"],
         packed["light"], packed["misc"], plane, plane, plane,
-        pixel_size=pixel_size)
+        pixel_size=pixel_size, return_jaxpr=True)
+    fwd_live = _live_planes(fwd_jaxpr, pixel_size)
 
     sphd = jnp.ones((max(ns, 1), SPHD_COLS), jnp.float32)
     matd = jnp.ones((max(m, 1), MATD_COLS), jnp.float32)
@@ -190,8 +236,10 @@ def _counts_cached(ns, nt, m, nl, want_trans, depth, atten, small,
     res = jnp.zeros((levels,) + shape, jnp.float32)
     lit = jnp.zeros((max(nl, 1) * levels,) + shape, jnp.float32)
 
+    ov = jnp.zeros((6, levels) + shape, jnp.float32)
+
     def bwd_fn(tri, mat, light, sphd, matd, lightd, misc,
-               vx, vy, vz, bi, mid, lit, cr, cg, cb, tr, tg, tb, mask):
+               vx, vy, vz, bi, mid, lit, ov, cr, cg, cb, tr, tg, tb, mask):
         # L2 loss + cotangent formation (the fused kernel's epilogue) ...
         dr_raw, dg_raw, db_raw = cr - tr, cg - tg, cb - tb
         dr, dg, db = dr_raw * mask, dg_raw * mask, db_raw * mask
@@ -205,15 +253,18 @@ def _counts_cached(ns, nt, m, nl, want_trans, depth, atten, small,
             lit_at=lambda li, lv: lit[li * levels + lv],
             gr=g * dr, gg=g * dg, gb=g * db,
             ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
-            want_trans=want_trans, shape=shape, fast_recip=True)
+            want_trans=want_trans, shape=shape, fast_recip=True,
+            ov_at=(lambda lv: tuple(ov[k, lv] for k in range(6)))
+            if share_ov else None)
         return tile_loss, dsph, dmat, dlight
 
-    bwd = jaxpr_slot_counts(
+    bwd, bwd_jaxpr = jaxpr_slot_counts(
         bwd_fn, packed["tri"], packed["mat"], packed["light"],
         sphd, matd, lightd, packed["misc"], plane, plane, plane,
-        res, res, lit, plane, plane, plane, plane, plane, plane, plane,
-        pixel_size=pixel_size)
-    return fwd, bwd
+        res, res, lit, ov, plane, plane, plane, plane, plane, plane, plane,
+        pixel_size=pixel_size, return_jaxpr=True)
+    bwd_live = _live_planes(bwd_jaxpr, pixel_size)
+    return fwd, bwd, fwd_live, bwd_live
 
 
 def kernel_op_counts(scene, config) -> Tuple[Dict[str, float],
@@ -224,9 +275,29 @@ def kernel_op_counts(scene, config) -> Tuple[Dict[str, float],
     fwd+bwd kernel is forward + backward.  Cached per (dims, config)."""
     ns = int(np.asarray(scene.sph_valid).sum())
     nt = int(np.asarray(scene.tri_valid).sum())
+    import os
+    share_ov = (scene.chain_exact
+                and os.environ.get("RTFS_FWD_OV", "0") == "1")
     return _counts_cached(ns, nt, scene.num_materials, scene.num_lights,
                           bool(scene.has_transmission), config.max_depth,
                           float(config.attenuation_factor),
                           float(config.small_number),
                           int(scene.checker_mats[0]),
-                          int(scene.checker_mats[1]))
+                          int(scene.checker_mats[1]), share_ov)[:2]
+
+
+def kernel_live_planes(scene, config) -> Tuple[int, int]:
+    """(forward, backward) max-live tile-plane estimates of the kernels
+    (see ``_live_planes``) — the working-set input of the roofline's
+    register-pressure term."""
+    ns = int(np.asarray(scene.sph_valid).sum())
+    nt = int(np.asarray(scene.tri_valid).sum())
+    import os
+    share_ov = (scene.chain_exact
+                and os.environ.get("RTFS_FWD_OV", "0") == "1")
+    return _counts_cached(ns, nt, scene.num_materials, scene.num_lights,
+                          bool(scene.has_transmission), config.max_depth,
+                          float(config.attenuation_factor),
+                          float(config.small_number),
+                          int(scene.checker_mats[0]),
+                          int(scene.checker_mats[1]), share_ov)[2:]

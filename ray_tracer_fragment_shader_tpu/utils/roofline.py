@@ -211,7 +211,12 @@ def _measure_mix_rate_cached(sched: Tuple[str, ...], per_step: int,
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32))(x)[0, 0]))
 
     best = None
-    for nc in (2, 4, 6):
+    # chain counts must reach issue SATURATION: the committed pressure
+    # curve (scripts/pressure_probe.py, artifacts/roofline/
+    # pressure_curve.json) shows the rate still climbing at nc=6 (4.7T)
+    # and plateauing ~5.28T only by nc>=16-32 — an undersized sweep
+    # understates the SOL denominator and flatters sol_fraction.
+    for nc in ((2,) if interpret else (8, 16, 32)):
         run1, run2 = make(iters, nc), make(2 * iters, nc)
         float(run1(x)); float(run2(x))
         deltas = []
@@ -230,8 +235,12 @@ def measure_mix_rate(counts: Dict[str, float], iters: int = 2048,
                      reps: int = 5, interpret: bool = None) -> float:
     """Sustained VPU issue rate (budget ops/s) for a register-resident
     dependent chain with the op-class ratio of ``counts`` — the SOL
-    denominator.  Chain count swept (2/4/6 independent chains) and the
-    best taken: saturation, not dependency latency.  Iteration-count-
+    denominator.  Chain count swept (8/16/32 independent chains) and the
+    best taken: TRUE issue saturation — the committed pressure curve
+    (artifacts/roofline/pressure_curve.json) shows the rate plateaus only
+    by ~16-32 chains (~5.3T on v5e) and does NOT degrade out to 96 live
+    planes, so this is the hardware's sustained ceiling for the blend,
+    not a dependency- or pressure-limited reading.  Iteration-count-
     difference timing (dispatch cancels), median of ``reps``.  Off-TPU the
     kernel runs in the Pallas interpreter (functional smoke only — the
     returned rate is not a hardware number)."""

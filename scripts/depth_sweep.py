@@ -71,6 +71,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--tree-size", type=int, default=512)
+    ap.add_argument("--out", default="artifacts/depth_sweep.json")
     args = ap.parse_args()
 
     import dataclasses
@@ -131,6 +132,10 @@ def main():
                          mrays_per_s=round(rays / 1e6, 1)))
         print(json.dumps(rows[-1]), flush=True)
 
+    out = dict(device=jax.devices()[0].device_kind, rows=rows)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
     print(json.dumps(rows))
 
 

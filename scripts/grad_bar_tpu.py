@@ -151,8 +151,18 @@ def main() -> None:
         "this script asserts the bar on the real TPU kernel (fast_recip "
         "on); run tests/test_grad_bar.py for the interpret-mode bar")
 
+    import datetime
+    import subprocess
+    try:
+        sha = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            text=True).strip()
+    except Exception:
+        sha = "unknown"
     out = dict(device=jax.devices()[0].device_kind, size=args.size,
-               bar=args.bar, fast_recip=True)
+               bar=args.bar, fast_recip=True, git_sha=sha,
+               date=datetime.date.today().isoformat())
     ok = True
     for name, fn, size in (("chain_fit_target", run_chain, args.size),
                            ("tree_two_lights", run_tree, 64),

@@ -61,8 +61,10 @@ def main() -> None:
     target = None
     params0 = None
     if args.fwd_bwd:
-        target = jax.jit(lambda s, c: render_image(s, c, config))(scene,
-                                                                  camera)
+        # target via the fast kernel — the core XLA path at 1024^2 costs
+        # many minutes of (tunnel) compile for no benefit (cf. bench.py)
+        target = jax.jit(lambda s: render_image_pallas(scene, camera,
+                                                       config))(scene)
         float(jnp.sum(target))
         params0 = FitParams.from_scene(scene)
 

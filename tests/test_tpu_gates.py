@@ -1,0 +1,51 @@
+"""Opt-in real-hardware gates: ``RTFS_TPU_TESTS=1 python -m pytest -m tpu``.
+
+The normal suite runs on CPU (conftest.py forces the platform), where
+``fast_recip=not interpret`` disables the approx-reciprocal + Newton step
+— so the 1e-4 gradient bar on the chip's ACTUAL arithmetic is only held
+by these gates.  Running them re-generates ``artifacts/grad_bar_tpu.json``
+(git SHA + date stamped) so the committed evidence can't silently go
+stale when kernels change (VERDICT r3 item 8).
+
+Skipped (not failed) without the env var / off-TPU, so the default
+CPU suite is unaffected.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(os.environ.get("RTFS_TPU_TESTS") != "1",
+                       reason="set RTFS_TPU_TESTS=1 to run real-TPU gates"),
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def on_tpu():
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU attached")
+    return True
+
+
+def test_grad_bar_on_tpu_kernels(on_tpu):
+    """The full grad-bar script (chain + tree + camera checks, f64-oracle
+    central FD, fast_recip on) must pass and refresh the artifact."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "grad_bar_tpu.py")],
+        cwd=REPO, capture_output=True, text=True, timeout=3000)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    with open(os.path.join(REPO, "artifacts", "grad_bar_tpu.json")) as fh:
+        art = json.load(fh)
+    sha = subprocess.check_output(["git", "rev-parse", "HEAD"], cwd=REPO,
+                                  text=True).strip()
+    assert art["git_sha"] == sha
+    for key in ("chain_fit_target", "tree_two_lights", "camera_eye"):
+        assert art[key]["pass"], art[key]
+        assert art[key]["max_abs_err"] <= art["bar"]
