@@ -9,9 +9,14 @@ halved *memory* traffic is worthless here (compute-bound by 3 orders).
 Method: the same register-resident dependent-chain kernel as
 scripts/vpu_op_probe.py (mul / mix-ratio chains, iteration-count-differenced
 timing, chain-count sweep for saturation), run in f32 and bf16 at the same
-element count.  Ratio > 1.1 would justify a bf16 shading path; ~1.0 means
-f32 stays (result on v5e: ~1.0 — the VPU is an f32 ALU; bf16 ops issue at
-the same rate.  See PERF.md "bf16 shading experiment").
+element count.
+
+Measured on v5e (see PERF.md "bf16 shading experiment" and the committed
+artifact): pure-mul chains run ~1.45x faster in bf16, BUT Mosaic rejects
+bf16 comparisons outright ("Target does not support this comparison"), so
+every cmp — 26% of the render kernels' ops are cmp/select — must upcast
+to f32; the mix-ratio chain times that price honestly.  The conclusion
+for the render kernels is in the artifact's ``mix`` row.
 
 Writes artifacts/roofline/bf16_probe.json.
 
@@ -42,26 +47,42 @@ BLOCK_H, BLOCK_W, GRID = 8, 256, 256
 NC_SWEEP = (4, 8, 12, 16)
 
 
-def _step(inject, y, c, d, bfix):
+def _step(inject, y, c, d, d32, d01, bfix):
     if inject == "mul":
         return y * c
     # the render kernels' dominant per-iteration ratio (cf. vpu_op_probe):
-    # 8 basic + 2 select + 1 cmp + 1 rsqrt
-    y = jnp.where(y > d, y * c, y + d)
+    # 8 basic + 2 select + 1 cmp + 1 rsqrt.  v5e Mosaic REJECTS bf16
+    # comparisons ("Target does not support this comparison"), so the cmp
+    # upcasts to f32 — deliberately kept in the timed chain: that convert
+    # is the real price any bf16 shading path would pay for its compares.
+    bf16 = y.dtype == jnp.bfloat16
+    cond = (y.astype(jnp.float32) if bf16 else y) > d32
+    y = jnp.where(cond, y * c, y + d)
     y = jnp.where(bfix, y * c + d, y)
-    y = jax.lax.rsqrt(y * c + d * jnp.asarray(0.1, y.dtype))
+    # d01 precomputed in f32 then cast: a bf16 scalar*scalar mulf fails
+    # to legalize on the scalar core
+    arg = y * c + d01
+    # rsqrt is f32-only on v5e Mosaic too: upcast, op, downcast
+    y = (jax.lax.rsqrt(arg.astype(jnp.float32)).astype(jnp.bfloat16)
+         if bf16 else jax.lax.rsqrt(arg))
     return y * c
 
 
 def _chain_kernel(x_ref, o_ref, *, iters, inject, nc, dtype):
-    x = x_ref[:].astype(dtype)
+    xf = x_ref[:]
+    # scalars extracted in f32 (Mosaic can only squeeze 32-bit scalars),
+    # then cast — the chain ops themselves all run in ``dtype``
+    c = (xf[0, 0] * 2.0).astype(dtype)
+    d32 = xf[0, 1]
+    d = d32.astype(dtype)
+    d01 = (d32 * 0.1).astype(dtype)
+    x = xf.astype(dtype)
     ys = [x * jnp.asarray(1.0 + 0.001 * i, dtype) for i in range(nc)]
-    c = x[0, 0] * jnp.asarray(2.0, dtype)
-    d = x[0, 1]
-    bfix = x > d
+    bfix = xf > d32          # fixed mask from an f32 compare (bf16 cmp
+                             # is unsupported); select over bf16 is fine
 
     def body(_, ys):
-        return [_step(inject, y, c, d, bfix) for y in ys]
+        return [_step(inject, y, c, d, d32, d01, bfix) for y in ys]
 
     ys = jax.lax.fori_loop(0, iters, body, ys)
     out = ys[0]
