@@ -50,3 +50,20 @@ def test_measure_mix_rate_interpret_smoke(counts):
     # tiny iters/reps: this checks trace+execute, not the rate
     rate = measure_mix_rate(counts, iters=2, reps=1, interpret=True)
     assert rate > 0.0
+
+
+def test_live_plane_analysis():
+    """The jaxpr max-live analyzer (the pressure-model input) produces
+    sane plane counts: positive, and the backward's working set larger
+    than the forward's (it holds per-level records + cotangent
+    accumulators)."""
+    from ray_tracer_fragment_shader_tpu.scene import presets
+    from ray_tracer_fragment_shader_tpu.utils.opcount import (
+        kernel_live_planes, kernel_op_counts)
+    scene, _, cfg = presets.full_reflective(size=32, depth=2)
+    fwd_live, bwd_live = kernel_live_planes(scene, cfg)
+    assert 10 < fwd_live < 1000
+    assert bwd_live > fwd_live
+    # counts and live numbers come from the same cached trace
+    fwd, bwd = kernel_op_counts(scene, cfg)
+    assert sum(fwd.values()) > sum(bwd.values()) > 0
