@@ -537,7 +537,15 @@ def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
             full(1.0), full(1.0), full(1.0),
             full(0.0), full(0.0), full(0.0),
             full(-1.0), full(1.0))
-    out = jax.lax.fori_loop(0, depth + 1, level_body, init)
+    if os.environ.get("RTFS_LEVEL_UNROLL", "0") == "1":
+        # unrolled bounce levels: constant residual-store indices and a
+        # bigger straight-line program (A/B knob — the level fori_loop is
+        # the default so the Mosaic program stays small at any depth)
+        out = init
+        for lv in range(depth + 1):
+            out = level_body(lv, out)   # Python int: static store indices
+    else:
+        out = jax.lax.fori_loop(0, depth + 1, level_body, init)
     return out[9], out[10], out[11]
 
 
