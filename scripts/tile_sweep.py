@@ -44,7 +44,6 @@ def main() -> None:
                     default="32x256,64x256,32x512,16x512,64x512,128x256,8x1024")
     args = ap.parse_args()
 
-    from ray_tracer_fragment_shader_tpu.core.renderer import render_image
     from ray_tracer_fragment_shader_tpu.diff.fit import FitParams
     from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
         fit_value_and_grad)
