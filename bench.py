@@ -49,10 +49,11 @@ def main() -> None:
     forward_only = os.environ.get("BENCH_FORWARD_ONLY", "0") == "1"
     # backend: the fused Pallas kernels (default) or XLA
     backend = os.environ.get("BENCH_BACKEND", "pallas")
-    # adjoint: "fused" = single-kernel fwd+loss+adjoint (default);
-    # "fused2" = two-phase residual-forward + backward kernel;
-    # anything else = the XLA replay
-    adjoint = os.environ.get("BENCH_ADJOINT", "fused")
+    # adjoint: "twophase" = packed-residual forward + cotangent-prologue
+    # backward kernel (default, fastest — PERF.md §2); "fused" =
+    # single-kernel fwd+loss+adjoint; "fused2" = the round-3 two-phase
+    # (unpacked residuals + XLA cotangent glue); anything else = XLA replay
+    adjoint = os.environ.get("BENCH_ADJOINT", "twophase")
 
     from ray_tracer_fragment_shader_tpu.core.renderer import render_image
     from ray_tracer_fragment_shader_tpu.diff.fit import FitParams, l2_loss
@@ -101,7 +102,8 @@ def main() -> None:
     # prepare_fit_inputs once at construction) — XLA does not hoist these
     # out of the scan body on its own
     prep = None
-    if not forward_only and backend == "pallas" and adjoint == "fused":
+    if (not forward_only and backend == "pallas"
+            and adjoint in ("fused", "twophase")):
         from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
             prepare_fit_inputs)
         prep = prepare_fit_inputs(camera, config, target,
@@ -118,11 +120,12 @@ def main() -> None:
                 img = render_fwd(scene, cam2, config)
             return accum + jnp.mean(img), None
         p = params0.replace(sph_center=params0.sph_center + eps)
-        if backend == "pallas" and adjoint in ("fused", "fused2"):
+        if backend == "pallas" and adjoint in ("fused", "fused2",
+                                               "twophase"):
             loss, grads = fit_value_and_grad(
                 p, scene, camera, config, target,
                 block_h=bh, block_w=bw,
-                single_kernel=(adjoint == "fused"), prep=prep)
+                mode={"fused2": "split"}.get(adjoint, adjoint), prep=prep)
         else:
             loss, grads = jax.value_and_grad(loss_fn)(p, scene, camera,
                                                       config, target)

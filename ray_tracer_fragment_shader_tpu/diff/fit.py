@@ -123,8 +123,10 @@ def make_sharded_fit_step(scene: FlatScene, camera: Camera,
                           optimizer: optax.GradientTransformation,
                           mesh: Optional[Mesh] = None, axis: str = TILE_AXIS):
     """Multi-chip training step: pixel tiles sharded over the mesh,
-    parameters replicated, gradients pmean'd over ICI, Adam applied
-    identically on every device (SPMD).
+    parameters replicated, the globally-normalized loss/gradients psum'd
+    over ICI (each shard divides by the global pixel count, so the psum is
+    exact — no pmean of unequal shard weights), Adam applied identically on
+    every device (SPMD).
 
     ``target_flat``: [H*W (padded to mesh size), 3] target pixels, sharded
     along the leading axis together with the pixel index arrays.

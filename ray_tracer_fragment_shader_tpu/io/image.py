@@ -31,20 +31,51 @@ def write_ppm(path: str, img) -> None:
         f.write(raster.tobytes())
 
 
+def _ppm_read_int(f) -> int:
+    """One positive integer from a PPM header/P3 body: digits accumulate,
+    ``#`` starts an end-of-line comment, whitespace separates — the
+    reference's tokenizer semantics (Hw4/ppm.cpp::ppmReadInteger:29-55),
+    which also accepts its own writer's one-line ``P6 w h 255`` header."""
+    got, accum, in_comment = False, 0, False
+    while True:
+        ch = f.read(1)
+        if in_comment:
+            if ch == b"\n":
+                in_comment = False
+            continue
+        if ch.isdigit():
+            accum = accum * 10 + (ch[0] - ord("0"))
+            got = True
+        elif not ch:  # EOF: legal right after the last P3 value
+            if got:
+                return accum
+            raise ValueError("ppm: unexpected end of file")
+        elif ch == b"#":
+            in_comment = True
+        elif ch not in b" \t\r\n":
+            raise ValueError(f"ppm: invalid character {ch!r}")
+        elif got:
+            return accum
+
+
 def read_ppm(path: str) -> np.ndarray:
-    """Read a binary P6 PPM back to top-down uint8 [H,W,3]."""
+    """Read a P6 (binary) or P3 (ASCII) PPM back to top-down uint8
+    [H,W,3] — both formats of the reference's reader
+    (Hw4/ppm.cpp::ppmRead:71-109; P3 is its dead-code branch)."""
     with open(path, "rb") as f:
-        magic = f.readline().strip()
-        if magic != b"P6":
-            raise ValueError(f"not a P6 PPM: {magic!r}")
-        line = f.readline()
-        while line.startswith(b"#"):
-            line = f.readline()
-        w, h = map(int, line.split())
-        maxval = int(f.readline())
+        magic = f.read(2)
+        if magic not in (b"P6", b"P3"):
+            raise ValueError(f"not a P6/P3 PPM: {magic!r}")
+        w = _ppm_read_int(f)
+        h = _ppm_read_int(f)
+        maxval = _ppm_read_int(f)
         if maxval != 255:
             raise ValueError("only maxval 255 supported")
-        data = np.frombuffer(f.read(w * h * 3), np.uint8)
+        if magic == b"P6":
+            data = np.frombuffer(f.read(w * h * 3), np.uint8)
+        else:
+            vals = [_ppm_read_int(f) for _ in range(w * h * 3)]
+            data = np.asarray(vals, np.uint8)
     return data.reshape(h, w, 3)
 
 

@@ -832,6 +832,185 @@ def _bwd_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     _accumulate_grid(dsph, dmat, dlight, dsph_ref, dmat_ref, dlight_ref)
 
 
+def _unpack_residuals(pk_ref, nl: int, pack):
+    """Lazy per-level unpack of the single-plane packed residuals
+    (render_pallas.py::pack_widths layout).  All fields are small integers
+    exact in f32; the field widths are powers of two, so the divides are
+    exact multiplies.  Returns (bi_at, mid_at, lit_at) accessors with a
+    per-level cache (each level is unpacked once)."""
+    bw_bi, bw_mid = pack
+    inv_lit = 1.0 / (bw_bi * bw_mid)
+    inv_bi = 1.0 / bw_bi
+    cache = {}
+
+    def unpack(lv):
+        if lv not in cache:
+            pk = pk_ref[lv]
+            hi = jnp.trunc(pk * inv_lit)          # lit bit field
+            rem = pk - hi * (bw_bi * bw_mid)
+            mid = jnp.trunc(rem * inv_bi)
+            biq = rem - mid * bw_bi
+            lits = []
+            for _ in range(nl):
+                nxt = jnp.trunc(hi * 0.5)
+                lits.append(hi - nxt * 2.0)
+                hi = nxt
+            cache[lv] = (biq - 1.0, mid, lits)
+        return cache[lv]
+
+    return (lambda lv: unpack(lv)[0],
+            lambda lv: unpack(lv)[1],
+            lambda li, lv: unpack(lv)[2][li])
+
+
+def _bwd_packed_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                       sphd_ref, matd_ref, lightd_ref,
+                       vx_ref, vy_ref, vz_ref,
+                       cr_ref, cg_ref, cb_ref,
+                       tr_ref, tg_ref, tb_ref, mask_ref, pk_ref,
+                       loss_ref, dsph_ref, dmat_ref, dlight_ref,
+                       *, ns: int, nt: int, m: int, nl: int, depth: int,
+                       atten: float, want_trans: bool, fast_recip: bool,
+                       g_scale: float, pack):
+    """Phase 2 of the packed two-phase fwd+bwd: the L2 cotangent
+    ``g = g_scale * mask * (img - target)`` and the masked squared-error sum
+    are formed IN the backward kernel's prologue (no XLA glue between the
+    phases — the measured ~0.2 ms of cotangent/loss glue in the round-4
+    ``fused2`` path, PERF.md §2), the packed residual plane is unpacked per
+    level, and the hand-written replay adjoint runs as usual."""
+    eye = (misc_ref[0], misc_ref[1], misc_ref[2])
+    mask = mask_ref[:]
+    dr_raw = cr_ref[:] - tr_ref[:]
+    dg_raw = cg_ref[:] - tg_ref[:]
+    db_raw = cb_ref[:] - tb_ref[:]
+    dr, dg, db = dr_raw * mask, dg_raw * mask, db_raw * mask
+    tile_loss = jnp.sum(dr * dr_raw + dg * dg_raw + db * db_raw)
+
+    bi_at, mid_at, lit_at = _unpack_residuals(pk_ref, nl, pack)
+    dsph, dmat, dlight = _adjoint_tile_body(
+        tri_ref, mat_ref, light_ref, sphd_ref, matd_ref, lightd_ref,
+        eye, vx_ref[:], vy_ref[:], vz_ref[:],
+        bi_at=bi_at, mid_at=mid_at, lit_at=lit_at,
+        gr=g_scale * dr, gg=g_scale * dg, gb=g_scale * db,
+        ns=ns, nt=nt, m=m, nl=nl, depth=depth, atten=atten,
+        want_trans=want_trans, shape=vx_ref.shape, fast_recip=fast_recip)
+
+    tile_loss = tile_loss[None, None]
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        loss_ref[...] = tile_loss
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        loss_ref[...] += tile_loss
+
+    _accumulate_grid(dsph, dmat, dlight, dsph_ref, dmat_ref, dlight_ref)
+
+
+def twophase_loss_grads_pallas(scene: FlatScene, camera: Camera,
+                               config: RenderConfig, target,
+                               mask: Optional[Any] = None,
+                               denom: Optional[float] = None,
+                               block_h: int = 8, block_w: int = 512,
+                               interpret: Optional[bool] = None,
+                               pts: Optional[Any] = None,
+                               prep: Optional[Dict[str, Any]] = None):
+    """TRUE two-phase fwd+bwd for chain-exact scenes: phase 1 renders the
+    image AND the single-plane packed residuals (one in-loop store per
+    bounce level — render_pallas.py::pack_widths), phase 2 forms the L2
+    cotangent + loss in-kernel and runs the hand adjoint.  Same signature
+    and return value as ``fused_loss_grads_pallas``: ``(sq_err_sum,
+    grads_c)``.
+
+    Why a second shape exists at all: the single-dispatch fused kernel's
+    adjoint runs at ~0.45 of the saturated VPU rate INSIDE the giant fused
+    program but 0.79 standalone — a compiled-program-size Mosaic scheduling
+    artifact (PERF.md §2, round-4 phase-isolation probes).  Splitting the
+    phases recovers the standalone rates, and the two round-4 blockers are
+    both fixed here: the residual-store overhead is cut ~4x by packing
+    (2+nl stores/level -> 1) and the ~0.2 ms of XLA cotangent/loss glue is
+    folded into phase 2's prologue."""
+    if not scene.chain_exact:
+        raise ValueError("packed two-phase backward replays the bounce "
+                         "chain; fractional-transparency scenes take the "
+                         "fused tree path (fused_loss_grads_pallas)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from .render_pallas import pack_widths, render_forward_packed
+    scene = compact_scene(scene)
+    ns, nt = scene.num_spheres, scene.num_triangles
+    m, nl = scene.num_materials, scene.num_lights
+    w, h = config.width, config.height
+    depth = config.max_depth
+    if denom is None:
+        denom = float(h * w * 3)
+
+    packed = pack_scene(scene)
+    packed["misc"] = packed["misc"].at[0:3].set(
+        camera.eye.astype(jnp.float32))
+    sphd, matd, lightd = _pack_diff_tables(scene)
+
+    if prep is None:
+        prep = prepare_fit_inputs(camera, config, target, mask=mask,
+                                  block_h=block_h, block_w=block_w, pts=pts)
+    else:
+        _check_prep(prep, target, mask, pts, block_h, block_w)
+    vx, vy, vz = prep["vx"], prep["vy"], prep["vz"]
+    tr, tg, tb, mask = prep["tr"], prep["tg"], prep["tb"], prep["mask"]
+    ph, pw = vx.shape
+
+    pack = pack_widths(packed["tri"].shape[0], ns, m, nl)
+
+    # ---- phase 1: forward + packed residuals (padded planes throughout) --
+    cr, cg, cb, pk = render_forward_packed(
+        packed, scene, config, vx, vy, vz, block_h, block_w, interpret, pack)
+
+    # ---- phase 2: cotangent prologue + replay adjoint ----
+    kernel = functools.partial(
+        _bwd_packed_kernel, ns=ns, nt=packed["tri"].shape[0], m=m, nl=nl,
+        depth=depth, atten=config.attenuation_factor,
+        want_trans=bool(scene.has_transmission), fast_recip=not interpret,
+        g_scale=2.0 / denom, pack=pack)
+    grid = (ph // block_h, pw // block_w)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    res_tile = pl.BlockSpec((depth + 1, block_h, block_w),
+                            lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    acc1 = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                        memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((max(ns, 1), SPHD_COLS), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    acc_m = pl.BlockSpec((max(m, 1), MATD_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    acc_l = pl.BlockSpec((max(nl, 1), LIGHTD_COLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+
+    loss_sum, dsph, dmat, dlight = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem] * 5 + [vfull] * 3 + [tile] * 10 + [res_tile],
+        out_specs=[acc1, acc, acc_m, acc_l],
+        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((max(ns, 1), SPHD_COLS), jnp.float32),
+                   jax.ShapeDtypeStruct((max(m, 1), MATD_COLS), jnp.float32),
+                   jax.ShapeDtypeStruct((max(nl, 1), LIGHTD_COLS),
+                                        jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else kernel_compiler_params(),
+    )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
+      packed["misc"], sphd, matd, lightd, vx, vy, vz,
+      cr, cg, cb, tr, tg, tb, mask, pk)
+
+    grads_c = dict(sph_center=dsph[:ns, 0:3], sph_radius=dsph[:ns, 3],
+                   mat_ambient=dmat[:m, 0:3], mat_diffuse=dmat[:m, 3:6],
+                   mat_specular=dmat[:m, 6:9], light_pos=dlight[:nl, 0:3])
+    return loss_sum[0, 0], grads_c
+
+
 def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                           sphd_ref, matd_ref, lightd_ref,
                           vx_ref, vy_ref, vz_ref,
@@ -1220,6 +1399,12 @@ def _check_prep(prep, target, mask, pts, block_h, block_w):
     if src is None:   # prep built by an older caller: only block checked
         return
     for name, got in (("target", target), ("mask", mask), ("pts", pts)):
+        # a traced value can't be identity-compared to the concrete object
+        # the prep was built from — a caller jitting its own step with
+        # target as an argument is fine (the prep's planes are used, the
+        # tracer ignored), so skip rather than error at trace time
+        if isinstance(got, jax.core.Tracer):
+            continue
         if got is not None and src[name] is not got:
             raise ValueError(
                 f"prep= was built from a different `{name}` object than "
@@ -1375,10 +1560,25 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                        block_h: int = 8, block_w: int = 512,
                        interpret: Optional[bool] = None, key=None,
                        single_kernel: bool = True,
-                       prep: Optional[Dict[str, Any]] = None):
+                       prep: Optional[Dict[str, Any]] = None,
+                       mode: Optional[str] = None):
     """(loss, d loss/d params) of the L2 photometric loss with the Pallas
     forward and the fused in-kernel backward — the fast path for the
     BASELINE config-4 fit and the fwd+bwd benchmark.
+
+    ``mode`` selects the kernel shape for chain-exact single-sample scenes:
+      * ``"twophase"`` (default) — packed-residual forward kernel + backward
+        kernel with in-kernel cotangent/loss prologue
+        (``twophase_loss_grads_pallas``).  Fastest measured: the adjoint
+        escapes the fused program's Mosaic scheduling penalty (PERF.md §2).
+      * ``"fused"`` — single-dispatch fwd+loss+adjoint, residuals in VMEM
+        scratch (``fused_loss_grads_pallas``).
+      * ``"split"`` — residual forward + XLA cotangent + backward kernel
+        (the round-3 shape; equals ``single_kernel=False``).
+    ``None`` reads env ``RTFS_FIT_MODE`` (default "twophase"); the legacy
+    ``single_kernel=False`` maps to "split".  All three are semantically
+    identical (same topology convention, f32-reassociation-level parity).
+    Fractional-transparency (tree) scenes always use the fused tree kernel.
 
     Supersampled targets (``config.samples > 1`` / ``force_jitter``) are
     supported: the rendered image is the mean of S jittered single-sample
@@ -1399,21 +1599,28 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
     from ..ops.rays import sample_jitter
 
     scene_full = params.into_scene(scene)
+    if mode is None:
+        mode = ("split" if not single_kernel
+                else os.environ.get("RTFS_FIT_MODE", "twophase"))
+    if mode not in ("twophase", "fused", "split"):
+        raise ValueError(f"unknown fit mode {mode!r}")
     use_jitter = config.samples > 1 or config.force_jitter
     if prep is not None and (use_jitter
-                             or not (single_kernel
-                                     or not scene_full.chain_exact)):
-        raise ValueError("prep= is only supported on the single-kernel "
-                         "fused path (no supersampling)")
+                             or (mode == "split"
+                                 and scene_full.chain_exact)):
+        raise ValueError("prep= is only supported on the twophase/fused "
+                         "paths (no supersampling)")
     if not use_jitter:
         denom = float(config.height * config.width * 3)
-        if single_kernel or not scene_full.chain_exact:
-            # one dispatch: forward + loss + replay adjoint, residual planes
-            # in VMEM scratch (never in HBM).  Fractional-transparency
-            # scenes always take this path — the fused kernel routes them
-            # to the in-kernel bounce-tree forward + tree adjoint (the
-            # two-phase fit_grads_pallas below is chain-only).
-            sq_sum, grads_c = fused_loss_grads_pallas(
+        if not scene_full.chain_exact:
+            mode = "fused"   # tree scenes: in-kernel bounce-tree fwd+adjoint
+        if mode in ("twophase", "fused"):
+            # twophase: packed-residual forward kernel + backward kernel
+            # with in-kernel cotangent prologue; fused: one dispatch with
+            # residual planes in VMEM scratch.  Identical semantics.
+            impl = (twophase_loss_grads_pallas if mode == "twophase"
+                    else fused_loss_grads_pallas)
+            sq_sum, grads_c = impl(
                 scene_full, camera, config, target, denom=denom,
                 block_h=block_h, block_w=block_w, interpret=interpret,
                 prep=prep)

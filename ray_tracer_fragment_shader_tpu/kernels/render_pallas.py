@@ -176,7 +176,16 @@ def _sweep_loop(n, body, init):
     program stays bounded while bookkeeping amortizes 8x.  Values are
     bit-identical in every mode (same op order).  Trace-time knob
     ``RTFS_SWEEP_UNROLL``: "auto" (default), "1" = always full,
-    "0" = plain fori_loop (the A/B baseline)."""
+    "0" = plain fori_loop (the A/B baseline).
+
+    CAVEAT (applies to every RTFS_* env knob in this package:
+    RTFS_SWEEP_UNROLL, RTFS_LEVEL_UNROLL, RTFS_FWD_OV, RTFS_BWD_RECOMPUTE,
+    RTFS_FIT_MODE): the env var is read at TRACE time and is not part of
+    the jit cache key — flipping it in-process after a jitted caller has
+    traced has no effect until that caller retraces (new closure, changed
+    static args, or ``jax.clear_caches()``).  The A/B scripts rebuild their
+    closures per setting for exactly this reason; set the knobs before the
+    first call in normal use."""
     mode = os.environ.get("RTFS_SWEEP_UNROLL", "auto")
     if mode == "0":
         return jax.lax.fori_loop(0, n, body, init)
@@ -466,8 +475,28 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
         mat_attrs=mat_attrs, secondary_dirs=secondary_dirs, shade=shade)
 
 
+def pack_widths(nt: int, ns: int, m: int, nl: int):
+    """Field widths of the single-plane packed residual: one f32 holds
+    ``(bi+1) + mid*BW_BI + lit_bits*BW_BI*BW_MID`` exactly (all fields are
+    small integers; widths are powers of two so the unpack divides are exact
+    multiplies).  Raises if the scene exceeds the 2^24 f32-exact-integer
+    budget (would need >2 packed planes per level — no reference scene
+    comes close)."""
+    bw_bi = 1
+    while bw_bi < nt + ns + 2:
+        bw_bi *= 2
+    bw_mid = 1
+    while bw_mid < m + 1:
+        bw_mid *= 2
+    if bw_bi * bw_mid * (2 ** nl) > 2 ** 24:
+        raise ValueError(
+            f"packed residual overflows f32 exact integers: "
+            f"{nt + ns} primitives x {m} materials x {nl} lights")
+    return float(bw_bi), float(bw_mid)
+
+
 def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
-                   want_trans: bool, res_refs=()):
+                   want_trans: bool, res_refs=(), pack=None):
     """The chain forward as a fori_loop over bounce levels, returning the
     accumulated (col_r, col_g, col_b) planes.  When ``res_refs`` is given
     (bi, mid, lit_0..lit_{nl-1} refs of shape [depth+1, BH, BW] — output refs
@@ -475,10 +504,18 @@ def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
     fixed-topology residuals are written per level.  Six MORE refs
     (ox oy oz vx vy vz) may follow the lit refs: each level's INPUT ray is
     then also recorded, letting the fused adjoint skip its own primal
-    ray-chain phase entirely (kernels/adjoint_fused.py, ``ov_at``)."""
+    ray-chain phase entirely (kernels/adjoint_fused.py, ``ov_at``).
+
+    ``pack=(bw_bi, bw_mid)``: res_refs is instead ONE ref [depth+1, BH, BW]
+    and each level's (bi, mid, lit_0..lit_{nl-1}) residuals are packed into
+    a single integer-exact f32 plane — one in-loop store per level instead
+    of 2+nl.  The in-loop residual stores, not their layout or HBM traffic,
+    are the residual forward's measured overhead (~0.15 ms/level at 1024²,
+    PERF.md §2), so packing cuts it ~(2+nl)x."""
     full = ops.full
     with_residuals = bool(res_refs)
-    ov_refs = res_refs[2 + nl:] if with_residuals else ()
+    ov_refs = (res_refs[2 + nl:]
+               if (with_residuals and pack is None) else ())
 
     # ---- per-ray state (the chain carry); the bounce-level loop is a
     # fori_loop so the Mosaic program stays small regardless of depth ----
@@ -495,7 +532,7 @@ def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
 
         px, py, pz, nx, ny, nz, mid = ops.hit_attrs(bd, bi, hitm,
                                                     ox, oy, oz, ux, uy, uz)
-        if with_residuals:
+        if with_residuals and pack is None:
             res_refs[0][_level] = jnp.where(hitm, bi, -1.0)
             res_refs[1][_level] = mid
 
@@ -507,14 +544,25 @@ def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
                                                     rho,
                                                     want_trans=want_trans)
 
+        lit_planes = []
+
         def lit_hook(li, lit):
-            if with_residuals:
+            if pack is not None:
+                lit_planes.append(jnp.where(lit, 1.0, 0.0))
+            elif with_residuals:
                 res_refs[2 + li][_level] = jnp.where(lit, 1.0, 0.0)
 
         col_r, col_g, col_b = ops.shade(
             px, py, pz, nx, ny, nz, ux, uy, uz, rx, ry, rz, mats,
             bi, hitm, thr_r, thr_g, thr_b, col_r, col_g, col_b,
             lit_hook=lit_hook)
+
+        if pack is not None:
+            bw_bi, bw_mid = pack
+            pk = (jnp.where(hitm, bi, -1.0) + 1.0) + mid * bw_bi
+            for li, lf in enumerate(lit_planes):
+                pk += lf * (bw_bi * bw_mid * float(1 << li))
+            res_refs[0][_level] = pk
 
         # ---- child ray selection (chain-exact) ----
         take_t = take_trans_f > 0.5
@@ -573,6 +621,69 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     r_ref[:] = col_r
     g_ref[:] = col_g
     b_ref[:] = col_b
+
+
+def _render_tile_packed_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                               vx_ref, vy_ref, vz_ref,
+                               r_ref, g_ref, b_ref, pk_ref,
+                               *, ns: int, nt: int, m: int, nl: int,
+                               depth: int, small: float, atten: float,
+                               white_id: int, black_id: int,
+                               want_trans: bool = True,
+                               fast_recip: bool = True,
+                               pack=(512.0, 128.0)):
+    """Chain forward emitting the image AND the single-plane packed
+    residuals (``pack_widths``) — phase 1 of the packed two-phase
+    fwd+bwd (kernels/adjoint_fused.py::twophase_loss_grads_pallas)."""
+    shape = vx_ref.shape
+    ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
+                         shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
+                         atten=atten, white_id=white_id, black_id=black_id,
+                         fast_recip=fast_recip, all_opaque=not want_trans)
+    eye = (misc_ref[0], misc_ref[1], misc_ref[2])
+    col_r, col_g, col_b = _chain_forward(
+        ops, eye, vx_ref[:], vy_ref[:], vz_ref[:], nl=nl, depth=depth,
+        want_trans=want_trans, res_refs=(pk_ref,), pack=pack)
+    r_ref[:] = col_r
+    g_ref[:] = col_g
+    b_ref[:] = col_b
+
+
+def render_forward_packed(packed, scene, config: RenderConfig,
+                          vx, vy, vz, block_h: int, block_w: int,
+                          interpret: bool, pack):
+    """Phase-1 pallas_call of the packed two-phase path: padded ray planes
+    in, padded (r, g, b, pk) planes out (no unpadding — the planes feed the
+    phase-2 backward kernel directly)."""
+    depth = config.max_depth
+    nl = scene.num_lights
+    ph, pw = vx.shape
+    kernel = functools.partial(
+        _render_tile_packed_kernel,
+        ns=packed["sph"].shape[0], nt=packed["tri"].shape[0],
+        m=scene.num_materials, nl=nl, depth=depth,
+        small=config.small_number, atten=config.attenuation_factor,
+        white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
+        want_trans=bool(scene.has_transmission),
+        fast_recip=not interpret, pack=pack)
+    grid = (ph // block_h, pw // block_w)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    res_tile = pl.BlockSpec((depth + 1, block_h, block_w),
+                            lambda i, j: (0, i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem] * 5 + [tile] * 3,
+        out_specs=[tile] * 3 + [res_tile],
+        out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 3
+                  + [jax.ShapeDtypeStruct((depth + 1, ph, pw), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else kernel_compiler_params(),
+    )(packed["sph"], packed["tri"], packed["mat"], packed["light"],
+      packed["misc"], vx, vy, vz)
 
 
 def _tree_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,

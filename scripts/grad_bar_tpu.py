@@ -140,6 +140,26 @@ def run_camera(size):
     return summarize(checks)
 
 
+def package_content_hash(repo: str) -> str:
+    """sha256 over the package's .py sources (path + content, sorted) —
+    identifies exactly the kernel code a run executed, independent of git
+    state (tests/test_tpu_gates.py recomputes it to validate the committed
+    artifact)."""
+    import hashlib
+    pkg = os.path.join(repo, "ray_tracer_fragment_shader_tpu")
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if not fn.endswith((".py", ".cpp", ".h")):
+                continue
+            p = os.path.join(dirpath, fn)
+            h.update(os.path.relpath(p, pkg).encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=128)
@@ -153,15 +173,18 @@ def main() -> None:
 
     import datetime
     import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
-        sha = subprocess.check_output(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            text=True).strip()
+        sha = subprocess.check_output(["git", "rev-parse", "HEAD"],
+                                      cwd=repo, text=True).strip()
     except Exception:
         sha = "unknown"
     out = dict(device=jax.devices()[0].device_kind, size=args.size,
                bar=args.bar, fast_recip=True, git_sha=sha,
+               # content hash of the package SOURCE this run executed —
+               # stale-proof provenance (a commit SHA is one commit behind
+               # by construction when the artifact itself gets committed)
+               package_hash=package_content_hash(repo),
                date=datetime.date.today().isoformat())
     ok = True
     for name, fn, size in (("chain_fit_target", run_chain, args.size),

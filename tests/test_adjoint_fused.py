@@ -85,19 +85,81 @@ def test_matches_core_autodiff(setup):
 
 def test_single_kernel_matches_two_phase(setup):
     """The one-dispatch fused fwd+bwd kernel (residuals in VMEM scratch) vs
-    the two-phase residual-forward + backward-kernel path: identical math,
+    the split residual-forward + backward-kernel path: identical math,
     so loss and every gradient leaf agree to float32 noise."""
     scene, cam, cfg, target = setup
     params = FitParams.from_scene(scene).replace(
         sph_center=scene.sph_center + 1.5)
     loss_1, grads_1 = fit_value_and_grad(params, scene, cam, cfg, target,
-                                         single_kernel=True)
+                                         mode="fused")
     loss_2, grads_2 = fit_value_and_grad(params, scene, cam, cfg, target,
-                                         single_kernel=False)
+                                         mode="split")
     assert abs(float(loss_1) - float(loss_2)) <= 1e-6 * max(float(loss_2), 1)
     for fname in FIELDS:
         r = _rel(getattr(grads_1, fname), getattr(grads_2, fname))
         assert r < 1e-5, f"{fname}: rel diff {r:.3g}"
+
+
+def test_twophase_packed_matches_fused(setup):
+    """The packed two-phase path (default): single-plane packed residuals
+    + in-kernel cotangent prologue.  Same replay adjoint, same gather
+    transpose — loss and gradients are BIT-identical to the fused kernel
+    (the residual pack/unpack is integer-exact by construction)."""
+    scene, cam, cfg, target = setup
+    params = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 1.5)
+    loss_f, grads_f = fit_value_and_grad(params, scene, cam, cfg, target,
+                                         mode="fused")
+    loss_t, grads_t = fit_value_and_grad(params, scene, cam, cfg, target,
+                                         mode="twophase")
+    assert float(loss_f) == float(loss_t)
+    for fname in FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(grads_f, fname)),
+                                      np.asarray(getattr(grads_t, fname)))
+
+
+def test_twophase_packed_transmitting_chain():
+    """Packed two-phase on a chain-exact scene WITH full transparency
+    (the Snell/select branch live) and 2 lights (two lit bits in the
+    packed plane): still bit-identical to the fused kernel."""
+    from ray_tracer_fragment_shader_tpu.scene import (Material, SceneBuilder)
+    from ray_tracer_fragment_shader_tpu.scene import presets
+    glass = Material(ambient=(0.02, 0.02, 0.02), diffuse=(0.1, 0.1, 0.2),
+                     specular=(0.4, 0.4, 0.4), transparency=(1.0, 1.0, 1.0),
+                     refraction=0.9)
+    scene = (SceneBuilder().add_checkerboard()
+             .add_sphere("d5", material=glass).add_sphere("c3")
+             .add_light("b6").add_light("f7", color=(0.8, 0.9, 1.0))
+             .build())
+    assert scene.chain_exact and scene.has_transmission
+    camcfg = presets._cam(SIZE)
+    cfg = presets.fit_target(size=SIZE)[2]
+    cam = Camera.from_config(camcfg, SIZE, SIZE)
+    target = render_image(scene, cam, cfg)
+    params = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 1.0)
+    loss_f, grads_f = fit_value_and_grad(params, scene, cam, cfg, target,
+                                         mode="fused")
+    loss_t, grads_t = fit_value_and_grad(params, scene, cam, cfg, target,
+                                         mode="twophase")
+    assert float(loss_f) == float(loss_t)
+    for fname in FIELDS:
+        # same math, but the two program shapes may fma-contract the
+        # cotangent formation differently — reassociation-level only
+        r = _rel(getattr(grads_f, fname), getattr(grads_t, fname))
+        assert r < 1e-6, f"{fname}: rel diff {r:.3g}"
+
+
+def test_pack_widths_bounds():
+    """Field widths are powers of two covering the tables, and the f32
+    exact-integer budget is enforced."""
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        pack_widths)
+    bw_bi, bw_mid = pack_widths(nt=2, ns=64, m=5, nl=2)
+    assert bw_bi >= 2 + 64 + 2 and bw_mid >= 6
+    assert (bw_bi & (bw_bi - 1) == 0) if isinstance(bw_bi, int) else True
+    with pytest.raises(ValueError, match="packed residual"):
+        pack_widths(nt=0, ns=2 ** 20, m=100, nl=7)
 
 
 def test_fused_fit_descends(setup):

@@ -24,6 +24,28 @@ def test_ppm_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, to_uint8(img))
 
 
+def test_ppm_p3_ascii_and_reference_header(tmp_path):
+    """P3 (ASCII) parsing with comments, and the reference writer's own
+    one-line `P6 w h 255` header (Hw4/ppm.cpp:21 writes exactly that)."""
+    rs = np.random.RandomState(1)
+    raster = rs.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    p3 = tmp_path / "a.ppm"
+    body = " ".join(str(v) for v in raster.reshape(-1))
+    p3.write_text("P3\n# a comment\n5 4 # trailing comment\n255\n"
+                  + body + "\n")
+    np.testing.assert_array_equal(read_ppm(str(p3)), raster)
+
+    p6 = tmp_path / "b.ppm"
+    with open(p6, "wb") as f:   # the reference writer's header shape
+        f.write(b"P6 5 4 255\n" + raster.tobytes())
+    np.testing.assert_array_equal(read_ppm(str(p6)), raster)
+
+    with pytest.raises(ValueError):
+        bad = tmp_path / "c.ppm"
+        bad.write_bytes(b"P5 1 1 255\n\x00")
+        read_ppm(str(bad))
+
+
 def test_to_uint8_clamps_and_flips():
     img = np.zeros((2, 1, 3))
     img[0, 0] = [2.0, -1.0, 0.5]  # bottom scanline (GL coords)
