@@ -87,6 +87,21 @@ def _render_and_write(scene, cam, cfg, out_path):
 def cmd_render(args):
     _platform(args)
     scene, cam, cfg = _load_preset(args)
+    if getattr(args, "watch", False):
+        # Progressive preview: re-render at growing resolution, rewriting
+        # --out after each pass — the closest headless analogue of the
+        # reference's live repaint loop (MySdlApplication.cpp:1631-1659,
+        # deviation D6: a TPU pod has no display).  The camera's
+        # pixel_scale is widened at each preview level so every pass
+        # covers the SAME world rectangle (the reference couples FOV to
+        # resolution at 1 unit/pixel).
+        for scale in (8, 4, 2, 1):
+            w, h = max(cfg.width // scale, 16), max(cfg.height // scale, 16)
+            cam_s = dataclasses.replace(
+                cam, pixel_scale=cam.pixel_scale * cfg.width / w)
+            cfg_s = dataclasses.replace(cfg, width=w, height=h)
+            _render_and_write(scene, cam_s, cfg_s, args.out)
+        return
     _render_and_write(scene, cam, cfg, args.out)
 
 
@@ -226,6 +241,9 @@ def main(argv=None):
                             "three_spheres_ground", "full_reflective",
                             "fit_target", "procedural_spheres"])
     _add_common(p)
+    p.add_argument("--watch", action="store_true",
+                   help="progressive preview: render at 1/8, 1/4, 1/2 then "
+                        "full resolution, rewriting --out after each pass")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("interactive",

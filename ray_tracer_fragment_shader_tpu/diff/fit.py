@@ -191,10 +191,20 @@ def make_sharded_fit_step_pallas(scene: FlatScene, camera: Camera,
     with ``P(axis)`` placement or pass as-is under jit).
 
     Matches ``fit_value_and_grad`` (kernels/adjoint_fused.py) exactly up to
-    float reassociation of the per-tile gradient accumulation order.
+    float reassociation of the per-tile gradient accumulation order, and
+    follows the same kernel-shape default: packed two-phase for chain-exact
+    scenes (env ``RTFS_FIT_MODE``), fused single-dispatch for tree scenes.
     """
+    import os
+
     from ..kernels.adjoint_fused import (fused_loss_grads_pallas,
-                                         grads_to_fitparams)
+                                         grads_to_fitparams,
+                                         twophase_loss_grads_pallas)
+    use_twophase = (scene.chain_exact
+                    and os.environ.get("RTFS_FIT_MODE",
+                                       "twophase") == "twophase")
+    loss_grads = (twophase_loss_grads_pallas if use_twophase
+                  else fused_loss_grads_pallas)
 
     mesh = make_mesh() if mesh is None else mesh
     n = mesh.devices.size
@@ -217,10 +227,10 @@ def make_sharded_fit_step_pallas(scene: FlatScene, camera: Camera,
         # rows >= h are mesh padding: mask their loss/cotangent to zero
         row_valid = (jj < h).reshape(h_shard, w).astype(jnp.float32)
         scene_full = params.into_scene(scene)
-        # single fused kernel per band: forward + L2 cotangent + replay
-        # adjoint in VMEM; only the band's gradient tables leave the chip,
-        # psum'd over ICI
-        sq_sum, grads_c = fused_loss_grads_pallas(
+        # one or two kernels per band (twophase default): forward + L2
+        # cotangent + replay adjoint; only the band's gradient tables
+        # leave the chip, psum'd over ICI
+        sq_sum, grads_c = loss_grads(
             scene_full, camera, cfg_s, tgt_rows, mask=row_valid,
             denom=denom, block_h=block_h, block_w=block_w,
             interpret=interpret, pts=pts)

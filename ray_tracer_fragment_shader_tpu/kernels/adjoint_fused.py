@@ -916,13 +916,21 @@ def twophase_loss_grads_pallas(scene: FlatScene, camera: Camera,
                                block_h: int = 8, block_w: int = 512,
                                interpret: Optional[bool] = None,
                                pts: Optional[Any] = None,
-                               prep: Optional[Dict[str, Any]] = None):
+                               prep: Optional[Dict[str, Any]] = None,
+                               bwd_block: Optional[tuple] = None):
     """TRUE two-phase fwd+bwd for chain-exact scenes: phase 1 renders the
     image AND the single-plane packed residuals (one in-loop store per
     bounce level — render_pallas.py::pack_widths), phase 2 forms the L2
     cotangent + loss in-kernel and runs the hand adjoint.  Same signature
     and return value as ``fused_loss_grads_pallas``: ``(sq_err_sum,
     grads_c)``.
+
+    ``bwd_block``: optional (bh, bw) tile for phase 2 — splitting the
+    phases lets each pick its own block shape (the adjoint's scheduling
+    optimum differs from the forward's).  Default (16, 256), the round-5
+    sweep winner (2.62 vs 2.70 ms end-to-end at 1024² d3 with the forward
+    at 8x512); silently falls back to the forward block when it does not
+    tile the phase-1-padded planes exactly.
 
     Why a second shape exists at all: the single-dispatch fused kernel's
     adjoint runs at ~0.45 of the saturated VPU rate INSIDE the giant fused
@@ -968,6 +976,10 @@ def twophase_loss_grads_pallas(scene: FlatScene, camera: Camera,
         packed, scene, config, vx, vy, vz, block_h, block_w, interpret, pack)
 
     # ---- phase 2: cotangent prologue + replay adjoint ----
+    if bwd_block is None:
+        bwd_block = (16, 256)
+    if ph % bwd_block[0] == 0 and pw % bwd_block[1] == 0:
+        block_h, block_w = bwd_block
     kernel = functools.partial(
         _bwd_packed_kernel, ns=ns, nt=packed["tri"].shape[0], m=m, nl=nl,
         depth=depth, atten=config.attenuation_factor,
@@ -1022,7 +1034,8 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                           white_id: int, black_id: int,
                           want_trans: bool, fast_recip: bool,
                           g_scale: float, tree: bool = False,
-                          share_ov: bool = False):
+                          share_ov: bool = False,
+                          bf16_shading: bool = False):
     """Single-kernel forward + L2 loss + replay adjoint (ROADMAP r2->3 #1):
     the tile is rendered with the chain forward (or, for fractional-
     transparency scenes, the full bounce-tree forward, ``tree=True``), the
@@ -1041,7 +1054,8 @@ def _fused_fwd_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip, all_opaque=not want_trans)
+                         fast_recip=fast_recip, all_opaque=not want_trans,
+                         bf16_shading=bf16_shading)
     eye = (misc_ref[0], misc_ref[1], misc_ref[2])
     vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
     fwd = _tree_forward if tree else _chain_forward
@@ -1111,7 +1125,8 @@ def _recompute_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                           small: float, atten: float,
                           white_id: int, black_id: int,
                           want_trans: bool, fast_recip: bool,
-                          tree: bool = False, share_ov: bool = False):
+                          tree: bool = False, share_ov: bool = False,
+                          bf16_shading: bool = False):
     """Recompute-forward + replay-adjoint in one dispatch, with the
     cotangent supplied externally (``gr/gg/gb`` planes) instead of derived
     from a target in-kernel.  This is the per-sample backward of the
@@ -1127,7 +1142,8 @@ def _recompute_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip, all_opaque=not want_trans)
+                         fast_recip=fast_recip, all_opaque=not want_trans,
+                         bf16_shading=bf16_shading)
     eye = (misc_ref[0], misc_ref[1], misc_ref[2])
     vx0, vy0, vz0 = vx_ref[:], vy_ref[:], vz_ref[:]
     # forward re-trace (colors discarded; only the residual scratch matters).
@@ -1209,7 +1225,7 @@ def recompute_grads_pallas(scene: FlatScene, camera: Camera,
         atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
         want_trans=bool(scene.has_transmission), fast_recip=not interpret,
-        tree=tree, share_ov=share_ov)
+        tree=tree, share_ov=share_ov, bf16_shading=config.bf16_shading)
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1484,7 +1500,8 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
         atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
         want_trans=bool(scene.has_transmission), fast_recip=not interpret,
-        g_scale=2.0 / denom, tree=tree, share_ov=share_ov)
+        g_scale=2.0 / denom, tree=tree, share_ov=share_ov,
+        bf16_shading=config.bf16_shading)
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1589,8 +1606,10 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
     kernel, so no residual plane ever touches HBM — round 2 materialized
     all S residual sets, ~S x (2+nl) x (depth+1) full-image planes) with
     cotangent g/S, summing the gradient tables.  ``config.adaptive`` is
-    rejected: the adaptive divisor is data-dependent and has no defined
-    fixed-topology adjoint (use the XLA core path for that).
+    supported the same way: the per-sample acceptance masks and the
+    early-exit divisor are recorded by the forward scan as fixed-topology
+    residuals (discrete outcomes, like hit ids), and each sample's
+    cotangent is weighted by accept_k / divisor.
 
     Equivalent to ``jax.value_and_grad(l2_loss_pallas)`` (kernels/adjoint.py)
     restricted to the ``FitParams`` leaves; scene/camera are constants."""
@@ -1637,10 +1656,6 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                                    interpret=interpret)
         return loss, grads_to_fitparams(params, scene_full, grads_c)
 
-    if config.adaptive:
-        raise ValueError(
-            "adaptive supersampling has no fixed-topology adjoint "
-            "(data-dependent divisor); use the XLA core path")
     S = config.samples
     if key is None:
         key = jax.random.PRNGKey(config.seed)
@@ -1651,28 +1666,85 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
 
     from .render_pallas import render_image_pallas
 
-    def fwd_body(carry, k):
-        jit = sample_jitter(k, pts0.shape[0], config.jitter_scale,
-                            dtype=pts0.dtype)
-        img_s = render_image_pallas(scene_full, camera, cfg1,
-                                    block_h=block_h, block_w=block_w,
-                                    interpret=interpret, pts=pts0 + jit)
-        return carry + img_s, None
+    if config.adaptive:
+        # Fixed-topology adjoint of the adaptive supersampler
+        # (MySdlApplication.cpp:1294-1311 emulation): the per-sample
+        # acceptance masks and the early-exit divisor are DISCRETE
+        # outcomes, exactly like hit ids and lit flags — record them in
+        # the forward scan, then weight each sample's cotangent by
+        # accept_k / divisor in the backward.  This matches jax.grad of
+        # the core emulation (the convergence test and divisor carry no
+        # continuous dependence on the parameters), unlocking gradients
+        # for the reference's default render mode on the kernel path.
+        small = config.small_number
 
-    img_sum, _ = jax.lax.scan(
-        fwd_body, jnp.zeros((h, w, 3), jnp.float32), keys)
-    img = img_sum / S
-    diff = img - target
-    loss = jnp.mean(diff * diff)
-    g = (2.0 / (diff.size * S)) * diff
+        def fwd_body_ad(carry, inp):
+            accum, divisor, done = carry
+            k, key_k = inp
+            jit = sample_jitter(key_k, pts0.shape[0], config.jitter_scale,
+                                dtype=pts0.dtype)
+            img_s = render_image_pallas(scene_full, camera, cfg1,
+                                        block_h=block_h, block_w=block_w,
+                                        interpret=interpret, pts=pts0 + jit)
+            accept = jnp.logical_not(done)
+            accum_after = jnp.where(done[..., None], accum, accum + img_s)
+            d = k * accum_after - (k + 1.0) * accum
+            dnorm = jnp.sqrt(jnp.sum(d * d, -1))
+            newly = jnp.logical_and(accept, dnorm < small * k * (k + 1.0))
+            divisor = jnp.where(newly, k, divisor)
+            done = jnp.logical_or(done, newly)
+            return (accum_after, divisor, done), accept
 
-    def bwd_body(carry, k):
-        jit = sample_jitter(k, pts0.shape[0], config.jitter_scale,
-                            dtype=pts0.dtype)
-        grads_s = recompute_grads_pallas(scene_full, camera, cfg1, g,
-                                         block_h=block_h, block_w=block_w,
-                                         interpret=interpret, pts=pts0 + jit)
-        return jax.tree_util.tree_map(jnp.add, carry, grads_s), None
+        ks = jnp.arange(S, dtype=jnp.float32)
+        init = (jnp.zeros((h, w, 3), jnp.float32),
+                jnp.full((h, w), float(S), jnp.float32),
+                jnp.zeros((h, w), bool))
+        (accum, divisor, _), accepts = jax.lax.scan(fwd_body_ad, init,
+                                                    (ks, keys))
+        img = accum / divisor[..., None]
+        diff = img - target
+        loss = jnp.mean(diff * diff)
+        g = (2.0 / diff.size) * diff
+
+        def bwd_body_ad(carry, inp):
+            key_k, accept = inp
+            jit = sample_jitter(key_k, pts0.shape[0], config.jitter_scale,
+                                dtype=pts0.dtype)
+            wk = jnp.where(accept, 1.0, 0.0) / divisor
+            grads_s = recompute_grads_pallas(
+                scene_full, camera, cfg1, g * wk[..., None],
+                block_h=block_h, block_w=block_w,
+                interpret=interpret, pts=pts0 + jit)
+            return jax.tree_util.tree_map(jnp.add, carry, grads_s), None
+
+        bwd_body, bwd_xs = bwd_body_ad, (keys, accepts)
+    else:
+        def fwd_body(carry, k):
+            jit = sample_jitter(k, pts0.shape[0], config.jitter_scale,
+                                dtype=pts0.dtype)
+            img_s = render_image_pallas(scene_full, camera, cfg1,
+                                        block_h=block_h, block_w=block_w,
+                                        interpret=interpret, pts=pts0 + jit)
+            return carry + img_s, None
+
+        img_sum, _ = jax.lax.scan(
+            fwd_body, jnp.zeros((h, w, 3), jnp.float32), keys)
+        img = img_sum / S
+        diff = img - target
+        loss = jnp.mean(diff * diff)
+        g = (2.0 / (diff.size * S)) * diff
+
+        def bwd_body(carry, k):
+            jit = sample_jitter(k, pts0.shape[0], config.jitter_scale,
+                                dtype=pts0.dtype)
+            grads_s = recompute_grads_pallas(scene_full, camera, cfg1, g,
+                                             block_h=block_h,
+                                             block_w=block_w,
+                                             interpret=interpret,
+                                             pts=pts0 + jit)
+            return jax.tree_util.tree_map(jnp.add, carry, grads_s), None
+
+        bwd_xs = keys
 
     sc = compact_scene(scene_full)
     ns_c, m_c, nl_c = sc.num_spheres, sc.num_materials, sc.num_lights
@@ -1682,5 +1754,5 @@ def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                  mat_diffuse=jnp.zeros((m_c, 3), jnp.float32),
                  mat_specular=jnp.zeros((m_c, 3), jnp.float32),
                  light_pos=jnp.zeros((nl_c, 3), jnp.float32))
-    grads_c, _ = jax.lax.scan(bwd_body, zeros, keys)
+    grads_c, _ = jax.lax.scan(bwd_body, zeros, bwd_xs)
     return loss, grads_to_fitparams(params, scene_full, grads_c)

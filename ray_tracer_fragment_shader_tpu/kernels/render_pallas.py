@@ -213,7 +213,7 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
                    *, ns: int, nt: int, m: int, nl: int,
                    small: float, atten: float,
                    white_id: int, black_id: int, fast_recip: bool,
-                   all_opaque: bool = False):
+                   all_opaque: bool = False, bf16_shading: bool = False):
     """Shared per-tile primitives for the chain and tree kernels: closest-hit
     sweep, winning-primitive/material gathers, secondary directions, and the
     shadow+Phong shading loop.  All functions operate on [BH,BW] f32 planes
@@ -221,8 +221,18 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
 
     ``all_opaque`` (static): no scene material is transparent, so shadow
     sweeps run in any-hit mode (no nearest-occluder ordering — see
-    ``intersect_all``).  Callers pass ``not scene.has_transmission``."""
+    ``intersect_all``).  Callers pass ``not scene.has_transmission``.
+
+    ``bf16_shading`` (static, opt-in — RenderConfig.bf16_shading): the
+    any-hit shadow sweeps and the Phong blend run their mul/fma arithmetic
+    in bfloat16 (2-per-lane on the v5e VPU), with f32 upcasts at every
+    compare and reciprocal (Mosaic rejects bf16 cmp/rsqrt outright —
+    PERF.md §7).  Primary intersection, normals, secondary directions and
+    all epsilon tests stay f32.  Nearest-occluder shadow sweeps of
+    transparent scenes stay f32 too (ordering is distance-precision
+    sensitive)."""
     f32 = jnp.float32
+    bf = jnp.bfloat16
 
     def full(x):
         return jnp.full(shape, x, f32)
@@ -297,13 +307,76 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
             return hit, s
 
         if any_hit:
-            def tri_body_any(i, acc):
-                hit, _ = tri_hit(i)
-                return jnp.where(hit, 1.0, acc)
+            if bf16_shading:
+                # bf16 sweep arithmetic (f32 upcasts at compares/recip/sqrt
+                # — Mosaic has no bf16 cmp/rsqrt, and no SCALAR-core bf16
+                # arithmetic at all: SMEM scalars stay f32 and are
+                # splat-cast to bf16 planes only where they meet vector
+                # operands).  Shadow occlusion is a BOOLEAN outcome, so
+                # bf16 only moves decision boundaries (documented looser
+                # parity, RenderConfig.bf16_shading).
+                def cb(x):
+                    return jnp.asarray(x).astype(bf)
 
-            def sph_body_any(i, acc):
-                hit, _ = sph_hit(i)
-                return jnp.where(hit, 1.0, acc)
+                def cbs(x):  # f32 SMEM scalar -> splatted bf16 plane
+                    return jnp.broadcast_to(x, shape).astype(bf)
+
+                def cf(x):
+                    return x.astype(f32)
+
+                oxb, oyb, ozb = cb(ox), cb(oy), cb(oz)
+                vxb, vyb, vzb = cb(vx), cb(vy), cb(vz)
+                uxb, uyb, uzb = cb(ux), cb(uy), cb(uz)
+
+                def tri_body_any(i, acc):
+                    nxs, nys, nzs = (cbs(tri_ref[i, 3]), cbs(tri_ref[i, 4]),
+                                     cbs(tri_ref[i, 5]))
+                    ndv = cf(nxs * vxb + nys * vyb + nzs * vzb)
+                    plane_ok = jnp.abs(ndv) >= small
+                    ndo = cf(nxs * oxb + nys * oyb + nzs * ozb)
+                    mm = ((tri_ref[i, 16] - ndo)
+                          * _recip(jnp.where(plane_ok, ndv, 1.0)))
+                    mmb = cb(mm)
+                    px = oxb + mmb * vxb - cbs(tri_ref[i, 0])
+                    py = oyb + mmb * vyb - cbs(tri_ref[i, 1])
+                    pz = ozb + mmb * vzb - cbs(tri_ref[i, 2])
+                    wu = px * cbs(tri_ref[i, 6]) + py * cbs(tri_ref[i, 7]) \
+                        + pz * cbs(tri_ref[i, 8])
+                    wv = px * cbs(tri_ref[i, 9]) + py * cbs(tri_ref[i, 10]) \
+                        + pz * cbs(tri_ref[i, 11])
+                    uv, uu, vv_ = (cbs(tri_ref[i, 12]), cbs(tri_ref[i, 13]),
+                                   cbs(tri_ref[i, 14]))
+                    inv_den = cbs(1.0 / tri_ref[i, 15])
+                    sb = cf((uv * wv - vv_ * wu) * inv_den)
+                    tb = cf((uv * wu - uu * wv) * inv_den)
+                    hit = (plane_ok & (mm >= small) & (sb >= 0.0)
+                           & (tb >= 0.0) & (sb + tb <= 1.0) & ok
+                           & (excl != i.astype(f32))
+                           & (tri_ref[i, 19] > 0.5))
+                    return jnp.where(hit, 1.0, acc)
+
+                def sph_body_any(i, acc):
+                    dx = cbs(sph_ref[i, 0]) - oxb
+                    dy = cbs(sph_ref[i, 1]) - oyb
+                    dz = cbs(sph_ref[i, 2]) - ozb
+                    ud = cf(uxb * dx + uyb * dy + uzb * dz)
+                    rr = sph_ref[i, 3] * sph_ref[i, 3]   # f32 scalar core
+                    disc = ud * ud - cf(dx * dx + dy * dy + dz * dz) + rr
+                    disc_ok = disc > 0.0
+                    s = ud - jnp.sqrt(jnp.where(disc_ok, disc, 1.0)) \
+                        * jnp.where(disc_ok, 1.0, 0.0)
+                    hit = ((disc >= 0.0) & (s >= small) & ok
+                           & (excl != (i + nt).astype(f32))
+                           & (sph_ref[i, 5] > 0.5))
+                    return jnp.where(hit, 1.0, acc)
+            else:
+                def tri_body_any(i, acc):
+                    hit, _ = tri_hit(i)
+                    return jnp.where(hit, 1.0, acc)
+
+                def sph_body_any(i, acc):
+                    hit, _ = sph_hit(i)
+                    return jnp.where(hit, 1.0, acc)
 
             occ = _sweep_loop(nt, tri_body_any, full(0.0))
             occ = _sweep_loop(ns, sph_body_any, occ)
@@ -464,9 +537,29 @@ def _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref, shape,
             ndots = jnp.abs(nx * svx + ny * svy + nz * svz) * inv_sl
             udotr = jnp.abs(ux * rx + uy * ry + uz * rz)
             w = jnp.where(jnp.logical_and(lit, hitm), att, 0.0)
-            col_r += thr_r * w * (amb_r + ndots * dif_r + udotr * spe_r) * lr
-            col_g += thr_g * w * (amb_g + ndots * dif_g + udotr * spe_g) * lg
-            col_b += thr_b * w * (amb_b + ndots * dif_b + udotr * spe_b) * lb
+            if bf16_shading:
+                # Phong blend in bf16 (geometry dots above stay f32); the
+                # accumulators stay f32 so S-sample sums don't drift.
+                # Light-color SMEM scalars fold into w on the f32 vector
+                # path first (no scalar-core bf16 arithmetic exists).
+                def cb(x):
+                    return jnp.asarray(x).astype(bf)
+
+                nb, ub = cb(ndots), cb(udotr)
+                wr, wg, wb_ = cb(w * lr), cb(w * lg), cb(w * lb)
+                col_r += (cb(thr_r) * wr * (cb(amb_r) + nb * cb(dif_r)
+                          + ub * cb(spe_r))).astype(f32)
+                col_g += (cb(thr_g) * wg * (cb(amb_g) + nb * cb(dif_g)
+                          + ub * cb(spe_g))).astype(f32)
+                col_b += (cb(thr_b) * wb_ * (cb(amb_b) + nb * cb(dif_b)
+                          + ub * cb(spe_b))).astype(f32)
+            else:
+                col_r += (thr_r * w * (amb_r + ndots * dif_r
+                                       + udotr * spe_r) * lr)
+                col_g += (thr_g * w * (amb_g + ndots * dif_g
+                                       + udotr * spe_g) * lg)
+                col_b += (thr_b * w * (amb_b + ndots * dif_b
+                                       + udotr * spe_b) * lb)
         return col_r, col_g, col_b
 
     import types
@@ -605,7 +698,8 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                         white_id: int, black_id: int,
                         with_residuals: bool = False,
                         want_trans: bool = True,
-                        fast_recip: bool = True):
+                        fast_recip: bool = True,
+                        bf16_shading: bool = False):
     # res_refs (when with_residuals): bi_ref, mid_ref [depth+1, BH, BW] and
     # one lit_ref [depth+1, BH, BW] per light — the fixed-topology residuals
     # consumed by the replay adjoint (kernels/adjoint.py).
@@ -613,7 +707,8 @@ def _render_tile_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip, all_opaque=not want_trans)
+                         fast_recip=fast_recip, all_opaque=not want_trans,
+                         bf16_shading=bf16_shading)
     eye = (misc_ref[0], misc_ref[1], misc_ref[2])
     col_r, col_g, col_b = _chain_forward(
         ops, eye, vx_ref[:], vy_ref[:], vz_ref[:], nl=nl, depth=depth,
@@ -631,6 +726,7 @@ def _render_tile_packed_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                                white_id: int, black_id: int,
                                want_trans: bool = True,
                                fast_recip: bool = True,
+                               bf16_shading: bool = False,
                                pack=(512.0, 128.0)):
     """Chain forward emitting the image AND the single-plane packed
     residuals (``pack_widths``) — phase 1 of the packed two-phase
@@ -639,7 +735,8 @@ def _render_tile_packed_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip, all_opaque=not want_trans)
+                         fast_recip=fast_recip, all_opaque=not want_trans,
+                         bf16_shading=bf16_shading)
     eye = (misc_ref[0], misc_ref[1], misc_ref[2])
     col_r, col_g, col_b = _chain_forward(
         ops, eye, vx_ref[:], vy_ref[:], vz_ref[:], nl=nl, depth=depth,
@@ -665,7 +762,8 @@ def render_forward_packed(packed, scene, config: RenderConfig,
         small=config.small_number, atten=config.attenuation_factor,
         white_id=scene.checker_mats[0], black_id=scene.checker_mats[1],
         want_trans=bool(scene.has_transmission),
-        fast_recip=not interpret, pack=pack)
+        fast_recip=not interpret,
+        bf16_shading=config.bf16_shading, pack=pack)
     grid = (ph // block_h, pw // block_w)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tile = pl.BlockSpec((block_h, block_w), lambda i, j: (i, j),
@@ -764,7 +862,8 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                              white_id: int, black_id: int,
                              with_residuals: bool = False,
                              want_trans: bool = True,
-                             fast_recip: bool = True):
+                             fast_recip: bool = True,
+                             bf16_shading: bool = False):
     """Tree-forward tile kernel (fractional-transparency scenes; chain-exact
     scenes take _render_tile_kernel).  Matches core/renderer.py's
     ``render_rays_tree`` semantics exactly."""
@@ -772,7 +871,8 @@ def _render_tile_tree_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
     ops = _make_tile_ops(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
                          shape, ns=ns, nt=nt, m=m, nl=nl, small=small,
                          atten=atten, white_id=white_id, black_id=black_id,
-                         fast_recip=fast_recip, all_opaque=not want_trans)
+                         fast_recip=fast_recip, all_opaque=not want_trans,
+                         bf16_shading=bf16_shading)
     col = _tree_forward(ops, (misc_ref[0], misc_ref[1], misc_ref[2]),
                         vx_ref[:], vy_ref[:], vz_ref[:], nl=nl, depth=depth,
                         want_trans=want_trans,
@@ -906,7 +1006,8 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
         # (bit-identical: the child select never takes transmitted dirs)
         want_trans=bool(scene.has_transmission),
         # pl.reciprocal is TPU-only; interpret mode uses the exact divide
-        fast_recip=not interpret)
+        fast_recip=not interpret,
+        bf16_shading=config.bf16_shading)
     if tree:
         kernel = functools.partial(_render_tile_tree_kernel,
                                    with_residuals=with_residuals, **common)

@@ -40,6 +40,9 @@ def main() -> None:
 
     ap.add_argument("--iters", type=at_least_2, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--mode", default=None,
+                    help="fit mode for --fwd-bwd: twophase/fused/split "
+                         "(default: the fit_value_and_grad default)")
     ap.add_argument("--shapes", type=str,
                     default="32x256,64x256,32x512,16x512,64x512,128x256,8x1024")
     args = ap.parse_args()
@@ -78,7 +81,7 @@ def main() -> None:
                 p = params0.replace(sph_center=params0.sph_center + eps)
                 loss, grads = fit_value_and_grad(p, scene, camera, config,
                                                  target, block_h=bh,
-                                                 block_w=bw)
+                                                 block_w=bw, mode=args.mode)
                 return accum + loss + jnp.mean(grads.sph_radius), None
             cam2 = camera.replace(eye=camera.eye + eps)
             img = render_image_pallas(scene, cam2, config,

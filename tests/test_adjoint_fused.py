@@ -103,19 +103,36 @@ def test_single_kernel_matches_two_phase(setup):
 def test_twophase_packed_matches_fused(setup):
     """The packed two-phase path (default): single-plane packed residuals
     + in-kernel cotangent prologue.  Same replay adjoint, same gather
-    transpose — loss and gradients are BIT-identical to the fused kernel
-    (the residual pack/unpack is integer-exact by construction)."""
+    transpose.  With the phase-2 block pinned to the forward block the
+    result is BIT-identical to the fused kernel (the residual pack/unpack
+    is integer-exact by construction); on the default path the backward
+    runs its own sweep-winning block (16x256), so the per-tile gradient
+    accumulation ORDER differs — reassociation-level equality only."""
+    from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
+        fused_loss_grads_pallas, twophase_loss_grads_pallas)
     scene, cam, cfg, target = setup
     params = FitParams.from_scene(scene).replace(
         sph_center=scene.sph_center + 1.5)
+    scene_p = params.into_scene(scene)
+
+    # bit-exactness at matched blocks
+    sq_f, gc_f = fused_loss_grads_pallas(scene_p, cam, cfg, target)
+    sq_t, gc_t = twophase_loss_grads_pallas(scene_p, cam, cfg, target,
+                                            bwd_block=(8, 512))
+    assert float(sq_f) == float(sq_t)
+    for k in gc_f:
+        np.testing.assert_array_equal(np.asarray(gc_f[k]),
+                                      np.asarray(gc_t[k]))
+
+    # the default path (phase-2 block 16x256): reassociation-level parity
     loss_f, grads_f = fit_value_and_grad(params, scene, cam, cfg, target,
                                          mode="fused")
     loss_t, grads_t = fit_value_and_grad(params, scene, cam, cfg, target,
                                          mode="twophase")
-    assert float(loss_f) == float(loss_t)
+    assert abs(float(loss_f) - float(loss_t)) <= 1e-6 * max(float(loss_f), 1)
     for fname in FIELDS:
-        np.testing.assert_array_equal(np.asarray(getattr(grads_f, fname)),
-                                      np.asarray(getattr(grads_t, fname)))
+        r = _rel(getattr(grads_f, fname), getattr(grads_t, fname))
+        assert r < 5e-4, f"{fname}: rel diff {r:.3g}"
 
 
 def test_twophase_packed_transmitting_chain():
@@ -142,12 +159,13 @@ def test_twophase_packed_transmitting_chain():
                                          mode="fused")
     loss_t, grads_t = fit_value_and_grad(params, scene, cam, cfg, target,
                                          mode="twophase")
-    assert float(loss_f) == float(loss_t)
+    assert abs(float(loss_f) - float(loss_t)) <= 1e-6 * max(float(loss_f), 1)
     for fname in FIELDS:
-        # same math, but the two program shapes may fma-contract the
-        # cotangent formation differently — reassociation-level only
+        # same math, but different fma contraction of the cotangent
+        # formation AND a different phase-2 tile accumulation order
+        # (default bwd block 16x256) — reassociation-level only
         r = _rel(getattr(grads_f, fname), getattr(grads_t, fname))
-        assert r < 1e-6, f"{fname}: rel diff {r:.3g}"
+        assert r < 5e-4, f"{fname}: rel diff {r:.3g}"
 
 
 def test_pack_widths_bounds():
@@ -255,3 +273,121 @@ def test_make_fit_step_pallas_descends(setup):
     assert losses[0] == pytest.approx(float(loss_ref), rel=1e-6)
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_adaptive_matches_replay_backward_per_sample(setup):
+    """Adaptive supersampling (the reference's default render mode) on the
+    kernel fast path, with REAL jitter: constant-color regions converge at
+    k=1 (divisor quirk) while detailed pixels accept all samples, so the
+    accept/divisor planes are genuinely mixed.  The fast path's gradients
+    must equal the sum of per-sample XLA-replay backward gradients
+    (fit_grads_pallas — an independent backward implementation) weighted by
+    the same recorded accept_k / divisor planes."""
+    import dataclasses
+
+    from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
+        fit_grads_pallas, grads_to_fitparams)
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        render_forward_with_residuals, render_image_pallas)
+    from ray_tracer_fragment_shader_tpu.ops.rays import (sample_jitter,
+                                                         screen_points)
+
+    scene, cam, cfg = setup[0], setup[1], setup[2]
+    S = 3
+    cfg_a = dataclasses.replace(cfg, samples=S, adaptive=True)
+    cfg1 = dataclasses.replace(cfg, samples=1, force_jitter=False)
+    target = render_image_pallas(scene, cam, cfg_a) * 0.9
+    params = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 0.3)
+    scene_p = params.into_scene(scene)
+
+    loss_a, g_a = fit_value_and_grad(params, scene, cam, cfg_a, target)
+
+    # reproduce the forward emulation to get img/accepts/divisor (this
+    # replication is exact: same kernels, same PRNG stream)
+    keys = jax.random.split(jax.random.PRNGKey(cfg_a.seed), S)
+    pts0 = screen_points(cam, SIZE, SIZE)
+    accum = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+    divisor = jnp.full((SIZE, SIZE), float(S), jnp.float32)
+    done = jnp.zeros((SIZE, SIZE), bool)
+    accepts, jits = [], []
+    for k in range(S):
+        jit = sample_jitter(keys[k], pts0.shape[0], cfg_a.jitter_scale,
+                            dtype=pts0.dtype)
+        jits.append(jit)
+        c = render_image_pallas(scene_p, cam, cfg1, pts=pts0 + jit)
+        accepts.append(jnp.logical_not(done))
+        accum_after = jnp.where(done[..., None], accum, accum + c)
+        d = k * accum_after - (k + 1.0) * accum
+        dnorm = jnp.sqrt(jnp.sum(d * d, -1))
+        newly = jnp.logical_and(~done,
+                                dnorm < cfg.small_number * k * (k + 1.0))
+        divisor = jnp.where(newly, float(k), divisor)
+        done = jnp.logical_or(done, newly)
+        accum = accum_after
+    img = accum / divisor[..., None]
+    # the accept planes must actually be mixed for this test to bite
+    assert 0 < float(jnp.mean(jnp.where(accepts[-1], 1.0, 0.0))) < 1
+    g = (2.0 / img.size) * (img - target)
+
+    # independent backward: per-sample XLA-replay kernel with the same
+    # accept_k/divisor weighting
+    expected = None
+    for k in range(S):
+        _, res = render_forward_with_residuals(scene_p, cam, cfg1,
+                                               pts=pts0 + jits[k])
+        wk = jnp.where(accepts[k], 1.0, 0.0) / divisor
+        gk = fit_grads_pallas(scene_p, cam, cfg1, res, g * wk[..., None],
+                              pts=pts0 + jits[k])
+        expected = gk if expected is None else jax.tree_util.tree_map(
+            jnp.add, expected, gk)
+    g_e = grads_to_fitparams(params, scene_p, expected)
+
+    loss_direct = float(jnp.mean((img - target) ** 2))
+    assert float(loss_a) == pytest.approx(loss_direct, rel=1e-5)
+    for fname in FIELDS:
+        r = _rel(getattr(g_e, fname), getattr(g_a, fname))
+        assert r < 5e-4, f"{fname}: rel diff {r:.3g}"
+        assert np.abs(np.asarray(getattr(g_a, fname))).max() > 0
+
+
+def test_adaptive_divisor_quirk_gradient():
+    """Zero jitter: every pixel converges at k=1 with divisor 1 but TWO
+    accumulated samples (the preserved reference quirk,
+    test_adaptive.py::test_divisor_quirk_on_identical_samples), so
+    img = 2c.  Under fixed topology d/dp mean((2c - t)^2) =
+    2 * d/dp mean((c - (t - c0))^2) with c0 = stop_grad(c) — so the
+    adaptive fast-path gradients must equal exactly 2x the single-sample
+    gradients at the shifted target.  Cross-checks the accept/divisor
+    weighting against the independently-tested single-sample path with no
+    core-vs-kernel boundary-pixel noise."""
+    import dataclasses
+
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        render_image_pallas)
+    from ray_tracer_fragment_shader_tpu.scene import presets as _p
+    scene, camcfg, cfg = _p.fit_target(size=SIZE)
+    cam = Camera.from_config(camcfg, SIZE, SIZE)
+    cfg_a = dataclasses.replace(cfg, samples=4, adaptive=True,
+                                force_jitter=True, jitter_scale=0.0)
+    params = FitParams.from_scene(scene).replace(
+        sph_center=scene.sph_center + 0.3)
+    scene_p = params.into_scene(scene)
+    c0 = render_image_pallas(scene_p, cam, cfg)      # single sample
+    img_a = render_image_pallas(scene_p, cam, cfg_a)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(2.0 * c0),
+                               rtol=1e-6)            # the quirk itself
+    target = render_image_pallas(scene, cam, cfg_a) * 0.9
+
+    loss_a, g_a = fit_value_and_grad(params, scene, cam, cfg_a, target)
+    loss_1, g_1 = fit_value_and_grad(params, scene, cam, cfg,
+                                     target - np.asarray(c0))
+    assert float(loss_a) == pytest.approx(
+        float(np.mean((np.asarray(img_a) - np.asarray(target)) ** 2)),
+        rel=1e-5)
+    for fname in FIELDS:
+        a = np.asarray(getattr(g_a, fname))
+        b = 2.0 * np.asarray(getattr(g_1, fname))
+        r = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
+        assert r < 1e-4, f"{fname}: rel diff {r:.3g}"
+        assert np.abs(a).max() > 0

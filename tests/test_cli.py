@@ -65,3 +65,17 @@ def test_fit_single_view_descends(tmp_path, capsys):
     assert (out_dir / "target.png").exists()
     assert (out_dir / "fitted.png").exists()
     assert (out_dir / "params.npz").exists()
+
+
+def test_render_watch_progressive(tmp_path, capsys):
+    """--watch renders 1/8 -> full resolution, rewriting the same file each
+    pass (the reference's live-repaint experience, deviation D6); the final
+    file is full resolution."""
+    out = tmp_path / "w.ppm"
+    main(["render", "--preset", "single_sphere", "--size", "64",
+          "--out", str(out), "--watch"])
+    img = read_ppm(str(out))
+    assert img.shape == (64, 64, 3)
+    text = capsys.readouterr().out
+    assert "rendered 16x16" in text and "rendered 32x32" in text
+    assert "rendered 64x64" in text
