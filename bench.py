@@ -93,8 +93,14 @@ def main() -> None:
                   else render_image)
     loss_fn = l2_loss_pallas if backend == "pallas" else l2_loss
 
-    bh = int(os.environ.get("BENCH_BLOCK_H", "8"))
-    bw = int(os.environ.get("BENCH_BLOCK_W", "512"))
+    # tile shape: env override, else the scene's measured default
+    # (kernels/render_pallas.py::default_blocks — 8x512 for small scenes,
+    # 32x256 for large sweep counts like BASELINE config 5)
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        compact_scene, default_blocks)
+    dbh, dbw = default_blocks(compact_scene(scene))
+    bh = int(os.environ.get("BENCH_BLOCK_H", dbh))
+    bw = int(os.environ.get("BENCH_BLOCK_W", dbw))
 
     # step-invariant padded input planes (ray dirs, target, mask): prepared
     # once and reused per step, the same configuration a real fit loop gets

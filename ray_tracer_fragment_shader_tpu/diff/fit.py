@@ -88,7 +88,7 @@ def make_fit_step(scene: FlatScene, camera: Camera, config: RenderConfig,
 def make_fit_step_pallas(scene: FlatScene, camera: Camera,
                          config: RenderConfig, target,
                          optimizer: optax.GradientTransformation,
-                         block_h: int = 8, block_w: int = 512,
+                         block_h: int = None, block_w: int = None,
                          interpret: Optional[bool] = None):
     """Single-device jitted Adam step on the fused Pallas path
     (single-dispatch forward + L2 loss + in-kernel adjoint).
@@ -101,6 +101,9 @@ def make_fit_step_pallas(scene: FlatScene, camera: Camera,
     loop get the same prepared-input configuration."""
     from ..kernels.adjoint_fused import (fit_value_and_grad,
                                          prepare_fit_inputs)
+    from ..kernels.render_pallas import _resolve_blocks, compact_scene
+    block_h, block_w = _resolve_blocks(compact_scene(scene), block_h,
+                                       block_w)
     target = jnp.asarray(target, jnp.float32)
     prep = prepare_fit_inputs(camera, config, target,
                               block_h=block_h, block_w=block_w)
@@ -176,7 +179,7 @@ def make_sharded_fit_step_pallas(scene: FlatScene, camera: Camera,
                                  optimizer: optax.GradientTransformation,
                                  mesh: Optional[Mesh] = None,
                                  axis: str = TILE_AXIS,
-                                 block_h: int = 8, block_w: int = 512,
+                                 block_h: int = None, block_w: int = None,
                                  interpret: Optional[bool] = None):
     """Multi-chip training step on the FAST path (VERDICT r1 item 1): each
     device renders its contiguous row band of the image with the fused
@@ -200,6 +203,9 @@ def make_sharded_fit_step_pallas(scene: FlatScene, camera: Camera,
     from ..kernels.adjoint_fused import (fused_loss_grads_pallas,
                                          grads_to_fitparams,
                                          twophase_loss_grads_pallas)
+    from ..kernels.render_pallas import _resolve_blocks, compact_scene
+    block_h, block_w = _resolve_blocks(compact_scene(scene), block_h,
+                                       block_w)
     use_twophase = (scene.chain_exact
                     and os.environ.get("RTFS_FIT_MODE",
                                        "twophase") == "twophase")

@@ -913,7 +913,7 @@ def twophase_loss_grads_pallas(scene: FlatScene, camera: Camera,
                                config: RenderConfig, target,
                                mask: Optional[Any] = None,
                                denom: Optional[float] = None,
-                               block_h: int = 8, block_w: int = 512,
+                               block_h: int = None, block_w: int = None,
                                interpret: Optional[bool] = None,
                                pts: Optional[Any] = None,
                                prep: Optional[Dict[str, Any]] = None,
@@ -946,8 +946,12 @@ def twophase_loss_grads_pallas(scene: FlatScene, camera: Camera,
                          "fused tree path (fused_loss_grads_pallas)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    from .render_pallas import pack_widths, render_forward_packed
+    from .render_pallas import (_resolve_blocks, default_blocks,
+                                pack_widths, render_forward_packed)
     scene = compact_scene(scene)
+    if prep is not None and block_h is None and block_w is None:
+        block_h, block_w = prep["block"]
+    block_h, block_w = _resolve_blocks(scene, block_h, block_w)
     ns, nt = scene.num_spheres, scene.num_triangles
     m, nl = scene.num_materials, scene.num_lights
     w, h = config.width, config.height
@@ -977,7 +981,7 @@ def twophase_loss_grads_pallas(scene: FlatScene, camera: Camera,
 
     # ---- phase 2: cotangent prologue + replay adjoint ----
     if bwd_block is None:
-        bwd_block = (16, 256)
+        bwd_block = default_blocks(scene, phase="bwd", depth=depth)
     if ph % bwd_block[0] == 0 and pw % bwd_block[1] == 0:
         block_h, block_w = bwd_block
     kernel = functools.partial(
@@ -1180,7 +1184,7 @@ def _recompute_bwd_kernel(sph_ref, tri_ref, mat_ref, light_ref, misc_ref,
 
 def recompute_grads_pallas(scene: FlatScene, camera: Camera,
                            config: RenderConfig, g,
-                           block_h: int = 8, block_w: int = 512,
+                           block_h: int = None, block_w: int = None,
                            interpret: Optional[bool] = None,
                            pts: Optional[Any] = None) -> Dict[str, Any]:
     """Single-dispatch backward with an external cotangent ``g`` [H,W,3]:
@@ -1194,6 +1198,9 @@ def recompute_grads_pallas(scene: FlatScene, camera: Camera,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scene = compact_scene(scene)
+    from .render_pallas import _resolve_blocks
+    block_h, block_w = _resolve_blocks(scene, block_h, block_w,
+                                       phase="fused")
     ns, m, nl = scene.num_spheres, scene.num_materials, scene.num_lights
     w, h = config.width, config.height
     depth = config.max_depth
@@ -1270,7 +1277,7 @@ def _pad_tile3(x, h, w, block_h, block_w, fill):
 
 def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
                      residuals: Dict[str, Any], g,
-                     block_h: int = 8, block_w: int = 512,
+                     block_h: int = None, block_w: int = None,
                      interpret: Optional[bool] = None,
                      pts: Optional[Any] = None) -> Dict[str, Any]:
     """Run the backward kernel; returns gradient tables for the *compacted*
@@ -1287,6 +1294,8 @@ def fit_grads_pallas(scene: FlatScene, camera: Camera, config: RenderConfig,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scene = compact_scene(scene)
+    from .render_pallas import _resolve_blocks
+    block_h, block_w = _resolve_blocks(scene, block_h, block_w)
     ns, nt = scene.num_spheres, scene.num_triangles
     m, nl = scene.num_materials, scene.num_lights
     w, h = config.width, config.height
@@ -1432,7 +1441,7 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
                             config: RenderConfig, target,
                             mask: Optional[Any] = None,
                             denom: Optional[float] = None,
-                            block_h: int = 8, block_w: int = 512,
+                            block_h: int = None, block_w: int = None,
                             interpret: Optional[bool] = None,
                             pts: Optional[Any] = None,
                             prep: Optional[Dict[str, Any]] = None):
@@ -1465,6 +1474,11 @@ def fused_loss_grads_pallas(scene: FlatScene, camera: Camera,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scene = compact_scene(scene)
+    from .render_pallas import _resolve_blocks
+    if prep is not None and block_h is None and block_w is None:
+        block_h, block_w = prep["block"]
+    block_h, block_w = _resolve_blocks(scene, block_h, block_w,
+                                       phase="fused")
     ns, m, nl = scene.num_spheres, scene.num_materials, scene.num_lights
     w, h = config.width, config.height
     depth = config.max_depth
@@ -1574,7 +1588,7 @@ def grads_to_fitparams(params: FitParams, scene_full: FlatScene,
 
 def fit_value_and_grad(params: FitParams, scene: FlatScene, camera: Camera,
                        config: RenderConfig, target,
-                       block_h: int = 8, block_w: int = 512,
+                       block_h: int = None, block_w: int = None,
                        interpret: Optional[bool] = None, key=None,
                        single_kernel: bool = True,
                        prep: Optional[Dict[str, Any]] = None,

@@ -588,6 +588,43 @@ def pack_widths(nt: int, ns: int, m: int, nl: int):
     return float(bw_bi), float(bw_mid)
 
 
+def default_blocks(scene: FlatScene, phase: str = "fwd",
+                   depth: int = None):
+    """Measured per-workload tile-shape defaults (scripts/tile_sweep.py and
+    the round-5 config-5 block×mode sweeps, PERF.md §6/§8).  The FORWARD
+    kernels win at 8×512 everywhere (with the sweeps unrolled, small rows
+    maximize Mosaic scheduling freedom).  The two-phase BACKWARD is
+    entity-count sensitive: 16×256 for small scenes (≤32 primitives — all
+    the reference's own scenes), 64×256 for large sweep counts (BASELINE
+    config 5's 64 spheres: the adjoint's per-entity gather transpose and
+    8-chunk sweep bookkeeping amortize over bigger tiles — 95 → 59 ms at
+    2048² d3 at 64×512; 128×512 and up fail to compile, VMEM).  Deeper
+    chains multiply the adjoint's live planes, so the large-scene backward
+    steps down to 64×256 past depth 3 (compile-safety margin).  The
+    single-dispatch FUSED fwd+bwd kernel shares one block and follows its
+    dominant phase: 8×512 small, 64×256 large (70.7 vs 95.4 ms at
+    config 5).  ``phase``: "fwd" (forward-only kernels), "bwd" (phase 2
+    of the packed two-phase path), "fused" (single-dispatch fwd+bwd).
+    ``depth``: the bounce depth (None = assume shallow)."""
+    n = scene.num_spheres + scene.num_triangles
+    if phase == "bwd":
+        if n > _SWEEP_FULL_MAX:
+            return (64, 512) if (depth is None or depth <= 3) else (64, 256)
+        return (16, 256)
+    if phase == "fused" and n > _SWEEP_FULL_MAX:
+        return (64, 256)
+    return (8, 512)
+
+
+def _resolve_blocks(scene, block_h, block_w, phase="fwd", depth=None):
+    """None → the scene's measured default; ints pass through."""
+    if block_h is None or block_w is None:
+        dh, dw = default_blocks(scene, phase, depth)
+        return (dh if block_h is None else block_h,
+                dw if block_w is None else block_w)
+    return block_h, block_w
+
+
 def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
                    want_trans: bool, res_refs=(), pack=None):
     """The chain forward as a fori_loop over bounce levels, returning the
@@ -893,7 +930,7 @@ def _pad_to(x, mult, axis):
 
 
 def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
-                        key=None, block_h: int = 8, block_w: int = 512,
+                        key=None, block_h: int = None, block_w: int = None,
                         interpret: bool = None, pts=None):
     """Full-frame Pallas render -> [H,W,3] (j=0 bottom, like the core).
 
@@ -912,6 +949,7 @@ def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
         camera = Camera.from_config(camera, config.width, config.height)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    block_h, block_w = _resolve_blocks(compact_scene(scene), block_h, block_w)
 
     packed = dict(pack_scene(scene))
     packed["misc"] = packed["misc"].at[0:3].set(
@@ -1049,7 +1087,7 @@ def _call_kernel(packed, scene, camera, config, pts, block_h, block_w,
 
 
 def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig,
-                                  block_h: int = 8, block_w: int = 512,
+                                  block_h: int = None, block_w: int = None,
                                   interpret: bool = None, pts=None):
     """Single-sample forward returning (img, fixed-topology residuals) for
     the replay adjoint (kernels/adjoint.py).
@@ -1067,6 +1105,7 @@ def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig
         camera = Camera.from_config(camera, config.width, config.height)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    block_h, block_w = _resolve_blocks(compact_scene(scene), block_h, block_w)
     packed = dict(pack_scene(scene))
     packed["misc"] = packed["misc"].at[0:3].set(camera.eye.astype(jnp.float32))
     if pts is None:

@@ -36,7 +36,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp  # noqa: E402
 
 
-def measure(scene, camcfg, config, mode, iters, reps, block=(32, 256)):
+def measure(scene, camcfg, config, mode, iters, reps, block=(None, None)):
+    # block (None, None): each kernel entry point resolves the scene's
+    # measured default (render_pallas.py::default_blocks) — the grid now
+    # validates the model at the shapes users actually get
     from ray_tracer_fragment_shader_tpu.diff.fit import FitParams
     from ray_tracer_fragment_shader_tpu.kernels.adjoint_fused import (
         fit_value_and_grad)
