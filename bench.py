@@ -93,12 +93,15 @@ def main() -> None:
                   else render_image)
     loss_fn = l2_loss_pallas if backend == "pallas" else l2_loss
 
-    # tile shape: env override, else the scene's measured default
-    # (kernels/render_pallas.py::default_blocks — 8x512 for small scenes,
-    # 32x256 for large sweep counts like BASELINE config 5)
+    # tile shape: env override, else the scene's measured default for the
+    # phase actually being timed (kernels/render_pallas.py::default_blocks
+    # — e.g. the fused fwd+bwd kernel on BASELINE config 5 wants 64x256,
+    # while forward-only and the two-phase forward want 8x512)
     from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
         compact_scene, default_blocks)
-    dbh, dbw = default_blocks(compact_scene(scene))
+    blk_phase = ("fwd" if forward_only or adjoint != "fused" else "fused")
+    dbh, dbw = default_blocks(compact_scene(scene), phase=blk_phase,
+                              depth=depth)
     bh = int(os.environ.get("BENCH_BLOCK_H", dbh))
     bw = int(os.environ.get("BENCH_BLOCK_W", dbw))
 

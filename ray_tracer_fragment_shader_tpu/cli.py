@@ -96,7 +96,11 @@ def cmd_render(args):
         # covers the SAME world rectangle (the reference couples FOV to
         # resolution at 1 unit/pixel).
         for scale in (8, 4, 2, 1):
-            w, h = max(cfg.width // scale, 16), max(cfg.height // scale, 16)
+            # one common divisor for both axes (clamped so neither drops
+            # below 16 pixels), so every preview pass frames the same
+            # world rectangle as the final render
+            d = max(min(scale, cfg.width // 16, cfg.height // 16), 1)
+            w, h = cfg.width // d, cfg.height // d
             cam_s = dataclasses.replace(
                 cam, pixel_scale=cam.pixel_scale * cfg.width / w)
             cfg_s = dataclasses.replace(cfg, width=w, height=h)

@@ -31,15 +31,19 @@ def write_ppm(path: str, img) -> None:
         f.write(raster.tobytes())
 
 
-def _ppm_read_int(f) -> int:
+def _ppm_read_int(f, want_term: bool = False):
     """One positive integer from a PPM header/P3 body: digits accumulate,
     ``#`` starts an end-of-line comment, whitespace separates — the
     reference's tokenizer semantics (Hw4/ppm.cpp::ppmReadInteger:29-55),
-    which also accepts its own writer's one-line ``P6 w h 255`` header."""
+    which also accepts its own writer's one-line ``P6 w h 255`` header.
+    ``want_term``: return ``(value, terminating byte)`` instead (the P6
+    maxval needs it to recognize a CRLF header)."""
     got, accum, in_comment = False, 0, False
     while True:
         ch = f.read(1)
         if in_comment:
+            if not ch:
+                raise ValueError("ppm: unexpected end of file in comment")
             if ch == b"\n":
                 in_comment = False
             continue
@@ -48,14 +52,14 @@ def _ppm_read_int(f) -> int:
             got = True
         elif not ch:  # EOF: legal right after the last P3 value
             if got:
-                return accum
+                return (accum, ch) if want_term else accum
             raise ValueError("ppm: unexpected end of file")
         elif ch == b"#":
             in_comment = True
         elif ch not in b" \t\r\n":
             raise ValueError(f"ppm: invalid character {ch!r}")
         elif got:
-            return accum
+            return (accum, ch) if want_term else accum
 
 
 def read_ppm(path: str) -> np.ndarray:
@@ -68,10 +72,20 @@ def read_ppm(path: str) -> np.ndarray:
             raise ValueError(f"not a P6/P3 PPM: {magic!r}")
         w = _ppm_read_int(f)
         h = _ppm_read_int(f)
-        maxval = _ppm_read_int(f)
+        maxval, term = _ppm_read_int(f, want_term=True)
         if maxval != 255:
             raise ValueError("only maxval 255 supported")
         if magic == b"P6":
+            # exactly one whitespace byte separates maxval from the raster
+            # (PPM spec; the reference parser consumes exactly one too) —
+            # but when that byte was the \r of a CRLF-written header, the
+            # stray \n must also be consumed or every raster byte shifts.
+            # Only a \r terminator triggers the peek, so a legitimate
+            # first raster byte of value 10 after "255\n" is never eaten.
+            if term == b"\r":
+                pos = f.tell()
+                if f.read(1) != b"\n":
+                    f.seek(pos)
             data = np.frombuffer(f.read(w * h * 3), np.uint8)
         else:
             vals = [_ppm_read_int(f) for _ in range(w * h * 3)]

@@ -1406,7 +1406,9 @@ def prepare_fit_inputs(camera: Camera, config: RenderConfig, target,
     # provenance: the exact objects this prep was built from, so a caller
     # passing a DIFFERENT target/mask alongside a stale prep gets an error
     # instead of silently computing loss/grads against the old target
-    # (the strong refs also pin the ids against reuse)
+    # (the strong refs also pin the ids against reuse).  Caveat: traced
+    # values can't be identity-checked and skip the check — see
+    # _check_prep's LIMITATION note
     return dict(vx=vx, vy=vy, vz=vz, tr=tr, tg=tg, tb=tb, mask=mask,
                 block=(block_h, block_w),
                 src=dict(target=target0, mask=mask0, pts=pts0))
@@ -1416,7 +1418,15 @@ def _check_prep(prep, target, mask, pts, block_h, block_w):
     """Raise if ``prep`` disagrees with the call it's used in: block shape,
     or a target/mask/pts object DIFFERENT from the one the prep was built
     from (identity check — rebuild the prep, or pass None, when the target
-    changes; values can't be compared under tracing)."""
+    changes; values can't be compared under tracing).
+
+    LIMITATION: a TRACED target/mask/pts cannot be identity-checked, so it
+    is skipped (not errored — jitting a step with the target as a jit
+    argument alongside a matching prep is legitimate, ADVICE r4).  The
+    flip side: if such a caller then feeds a DIFFERENT target array at
+    call time, the kernel still uses the prep's baked planes with no
+    error.  When the target varies across calls, don't bake it: build the
+    prep without it, or rebuild the prep per target."""
     if prep["block"] != (block_h, block_w):
         raise ValueError(f"prep was built for block {prep['block']}, "
                          f"called with ({block_h}, {block_w})")

@@ -71,6 +71,13 @@ def measure(scene, camcfg, config, mode, iters, reps, block=(None, None)):
 
     run_1, run_n = scan_runner(one_iter, iters)
     timing = scan_diff_median(run_1, run_n, iters, reps=reps)
+    # sub-ms rows at 32 iters sit at the tunnel-noise floor (a round-5
+    # 512^2 row measured 0.395 ms = a physically impossible 1.44
+    # efficiency; 256 iters gave 0.717 at spread 0.01) — re-estimate with
+    # enough iterations that the scan difference dominates the noise
+    if timing["dt"] < 1e-3 and iters < 256:
+        run_1, run_n = scan_runner(one_iter, 256)
+        timing = scan_diff_median(run_1, run_n, 256, reps=reps)
     return max(timing["dt"], 1e-9)
 
 

@@ -45,6 +45,24 @@ def test_ppm_p3_ascii_and_reference_header(tmp_path):
         bad.write_bytes(b"P5 1 1 255\n\x00")
         read_ppm(str(bad))
 
+    # truncated file ending inside a comment must raise, not hang
+    with pytest.raises(ValueError, match="end of file"):
+        trunc = tmp_path / "d.ppm"
+        trunc.write_bytes(b"P3\n1 1\n255\n1 2 # truncated")
+        read_ppm(str(trunc))
+
+    # CRLF-written P6 header: the stray \n of "255\r\n" must not become a
+    # raster byte...
+    crlf = tmp_path / "e.ppm"
+    crlf.write_bytes(b"P6\r\n5 4\r\n255\r\n" + raster.tobytes())
+    np.testing.assert_array_equal(read_ppm(str(crlf)), raster)
+    # ...while a legitimate first raster byte of 10 after "255\n" survives
+    r10 = raster.copy()
+    r10.reshape(-1)[0] = 10
+    lf = tmp_path / "f.ppm"
+    lf.write_bytes(b"P6\n5 4\n255\n" + r10.tobytes())
+    np.testing.assert_array_equal(read_ppm(str(lf)), r10)
+
 
 def test_to_uint8_clamps_and_flips():
     img = np.zeros((2, 1, 3))
