@@ -391,3 +391,23 @@ def test_adaptive_divisor_quirk_gradient():
         r = np.abs(a - b).max() / max(np.abs(b).max(), 1e-12)
         assert r < 1e-4, f"{fname}: rel diff {r:.3g}"
         assert np.abs(a).max() > 0
+
+
+def test_default_block_policy():
+    """Scene/phase/depth-aware tile defaults (PERF.md §5/§6 sweeps): small
+    scenes 8x512 fwd / 16x256 bwd; 64-sphere scenes keep 8x512 fwd but
+    take 64x512 bwd (64x256 past depth 3 for VMEM margin) and 64x256
+    fused.  Explicit ints always pass through."""
+    from ray_tracer_fragment_shader_tpu.kernels.render_pallas import (
+        _resolve_blocks, compact_scene, default_blocks)
+    small = compact_scene(presets.full_reflective(size=32)[0])
+    big = compact_scene(presets.procedural_spheres(size=32)[0])
+    assert default_blocks(small, "fwd") == (8, 512)
+    assert default_blocks(small, "bwd") == (16, 256)
+    assert default_blocks(small, "fused") == (8, 512)
+    assert default_blocks(big, "fwd") == (8, 512)
+    assert default_blocks(big, "bwd", depth=3) == (64, 512)
+    assert default_blocks(big, "bwd", depth=5) == (64, 256)
+    assert default_blocks(big, "fused") == (64, 256)
+    assert _resolve_blocks(big, 32, 128, "bwd") == (32, 128)
+    assert _resolve_blocks(big, None, None, "bwd", 3) == (64, 512)
