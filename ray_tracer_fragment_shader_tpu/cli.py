@@ -95,11 +95,17 @@ def cmd_render(args):
         # pixel_scale is widened at each preview level so every pass
         # covers the SAME world rectangle (the reference couples FOV to
         # resolution at 1 unit/pixel).
+        # one common divisor for both axes (clamped so neither drops below
+        # 16 pixels) keeps every preview pass framing the same world
+        # rectangle as the final render; consecutive scales that clamp to
+        # the same divisor are deduplicated (a 20-px-tall image would
+        # otherwise render the full frame four times)
+        divisors = []
         for scale in (8, 4, 2, 1):
-            # one common divisor for both axes (clamped so neither drops
-            # below 16 pixels), so every preview pass frames the same
-            # world rectangle as the final render
             d = max(min(scale, cfg.width // 16, cfg.height // 16), 1)
+            if not divisors or divisors[-1] != d:
+                divisors.append(d)
+        for d in divisors:
             w, h = cfg.width // d, cfg.height // d
             cam_s = dataclasses.replace(
                 cam, pixel_scale=cam.pixel_scale * cfg.width / w)

@@ -99,11 +99,21 @@ def make_fit_step_pallas(scene: FlatScene, camera: Camera,
     step; XLA does not hoist them out of a training-loop body on its own.
     This is the code path the headline bench times: users running a fit
     loop get the same prepared-input configuration."""
+    import os
+
     from ..kernels.adjoint_fused import (fit_value_and_grad,
                                          prepare_fit_inputs)
     from ..kernels.render_pallas import _resolve_blocks, compact_scene
-    block_h, block_w = _resolve_blocks(compact_scene(scene), block_h,
-                                       block_w)
+    # resolve for the phase this step will actually run: twophase's prep
+    # block is its PHASE-1 (forward) block; tree scenes and
+    # RTFS_FIT_MODE=fused take the fused kernel's (entity-count-aware)
+    # default instead
+    twophase = (scene.chain_exact
+                and os.environ.get("RTFS_FIT_MODE",
+                                   "twophase") == "twophase")
+    block_h, block_w = _resolve_blocks(
+        compact_scene(scene), block_h, block_w,
+        phase="fwd" if twophase else "fused", depth=config.max_depth)
     target = jnp.asarray(target, jnp.float32)
     prep = prepare_fit_inputs(camera, config, target,
                               block_h=block_h, block_w=block_w)
@@ -204,11 +214,14 @@ def make_sharded_fit_step_pallas(scene: FlatScene, camera: Camera,
                                          grads_to_fitparams,
                                          twophase_loss_grads_pallas)
     from ..kernels.render_pallas import _resolve_blocks, compact_scene
-    block_h, block_w = _resolve_blocks(compact_scene(scene), block_h,
-                                       block_w)
     use_twophase = (scene.chain_exact
                     and os.environ.get("RTFS_FIT_MODE",
                                        "twophase") == "twophase")
+    # twophase's per-band block is its phase-1 (forward) block; the fused
+    # kernel takes its own entity-count-aware default
+    block_h, block_w = _resolve_blocks(
+        compact_scene(scene), block_h, block_w,
+        phase="fwd" if use_twophase else "fused", depth=config.max_depth)
     loss_grads = (twophase_loss_grads_pallas if use_twophase
                   else fused_loss_grads_pallas)
 

@@ -927,10 +927,11 @@ def twophase_loss_grads_pallas(scene: FlatScene, camera: Camera,
 
     ``bwd_block``: optional (bh, bw) tile for phase 2 — splitting the
     phases lets each pick its own block shape (the adjoint's scheduling
-    optimum differs from the forward's).  Default (16, 256), the round-5
-    sweep winner (2.62 vs 2.70 ms end-to-end at 1024² d3 with the forward
-    at 8x512); silently falls back to the forward block when it does not
-    tile the phase-1-padded planes exactly.
+    optimum differs from the forward's).  Default: the scene's measured
+    backward block (``render_pallas.py::default_blocks(phase="bwd")`` —
+    16×256 small scenes, 64×512 large, 64×256 deep-large); silently falls
+    back to the forward block when it does not tile the phase-1-padded
+    planes exactly.
 
     Why a second shape exists at all: the single-dispatch fused kernel's
     adjoint runs at ~0.45 of the saturated VPU rate INSIDE the giant fused
@@ -1379,6 +1380,11 @@ def prepare_fit_inputs(camera: Camera, config: RenderConfig, target,
     kernel: primary-ray directions, target RGB and the pixel mask —
     everything that depends only on (camera, config, target), NOT on the
     fit parameters.
+
+    ``block_h``/``block_w`` must equal the block the kernel call will
+    resolve (for large scenes the fused kernel's default is NOT 8×512 —
+    resolve via ``render_pallas.py::default_blocks`` first, or use
+    ``diff/fit.py::make_fit_step_pallas``, which does).
 
     In a fit loop these are step-invariant, but XLA does not hoist them out
     of a ``lax.scan``/training-loop body: recomputing them per step costs

@@ -949,7 +949,9 @@ def render_image_pallas(scene: FlatScene, camera, config: RenderConfig,
         camera = Camera.from_config(camera, config.width, config.height)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    block_h, block_w = _resolve_blocks(compact_scene(scene), block_h, block_w)
+    # the "fwd" policy is scene-independent (8x512 everywhere) — no need
+    # to compact just to resolve
+    block_h, block_w = _resolve_blocks(scene, block_h, block_w)
 
     packed = dict(pack_scene(scene))
     packed["misc"] = packed["misc"].at[0:3].set(
@@ -1105,7 +1107,7 @@ def render_forward_with_residuals(scene: FlatScene, camera, config: RenderConfig
         camera = Camera.from_config(camera, config.width, config.height)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    block_h, block_w = _resolve_blocks(compact_scene(scene), block_h, block_w)
+    block_h, block_w = _resolve_blocks(scene, block_h, block_w)
     packed = dict(pack_scene(scene))
     packed["misc"] = packed["misc"].at[0:3].set(camera.eye.astype(jnp.float32))
     if pts is None:
