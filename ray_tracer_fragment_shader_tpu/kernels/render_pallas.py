@@ -715,10 +715,17 @@ def _chain_forward(ops, eye, vx0, vy0, vz0, *, nl: int, depth: int,
             full(1.0), full(1.0), full(1.0),
             full(0.0), full(0.0), full(0.0),
             full(-1.0), full(1.0))
-    if os.environ.get("RTFS_LEVEL_UNROLL", "0") == "1":
-        # unrolled bounce levels: constant residual-store indices and a
-        # bigger straight-line program (A/B knob — the level fori_loop is
-        # the default so the Mosaic program stays small at any depth)
+    if os.environ.get("RTFS_LEVEL_UNROLL", "1") == "1":
+        # DEFAULT since round 5: unrolled bounce levels (constant
+        # residual-store indices, straight-line level code).  Measured
+        # wins on v5e: plain forward 1.98 -> 1.86 ms, packed two-phase
+        # fwd+bwd 2.65 -> 2.58 ms at 1024^2 d3.  One program shape for
+        # every chain forward (plain/packed/residual/fused) keeps the
+        # kernels bit-identical to each other; vs the old fori_loop
+        # default the fma reassociation flips ~0.5% of decision-boundary
+        # pixels (goldens regenerated with the flip —
+        # tests/goldens, scripts/make_goldens.py).  RTFS_LEVEL_UNROLL=0
+        # restores the loop (smaller Mosaic program at high depth).
         out = init
         for lv in range(depth + 1):
             out = level_body(lv, out)   # Python int: static store indices
